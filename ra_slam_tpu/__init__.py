@@ -1,0 +1,34 @@
+"""ra_slam_tpu — a TPU-native semantic SLAM + dense reconstruction framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of RA-SLAM
+(uiuc-iml/RA-SLAM, the perception system of an autonomous disinfection
+robot): ORB-feature visual tracking, local/global bundle adjustment,
+pose-graph optimization with loop closure, and voxel-hashed semantic TSDF
+fusion with raycast rendering and marching-cubes mesh extraction.
+
+Unlike the reference (single-GPU CUDA + external OpenVSLAM/g2o/libtorch),
+everything here is first-party and TPU-first:
+
+  - the dense map is a fixed-capacity voxel-block pool + open-addressed
+    spatial hash living in HBM, updated with batched, conflict-free
+    functional ops (no device-side locks or atomics);
+  - the sparse SLAM stack (FAST/ORB, Hamming matching, Gauss-Newton
+    tracking, Schur-complement BA, pose graph) is batched JAX with Pallas
+    kernels on the hot paths;
+  - multi-device scaling uses jax.sharding Mesh + shard_map collectives
+    (psum-reduced camera systems, block halo exchange), not threads/NCCL.
+
+Subpackages
+-----------
+core      geometry (SO3/SE3, cameras), configuration
+ops       compute kernels (jnp reference + Pallas TPU implementations)
+map       the voxel-block TSDF map and fusion pipeline
+slam      sparse visual SLAM: features, tracking, BA, pose graph, loops
+models    learned components (semantic segmentation net)
+parallel  device meshes, shardings, distributed BA / halo exchange
+io        dataset readers (.sens / TUM folders), binary dump formats
+pipeline  system facades mirroring the reference entry points
+utils     timing, logging, pose buffer
+"""
+
+__version__ = "0.1.0"

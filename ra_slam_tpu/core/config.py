@@ -1,0 +1,173 @@
+"""Configuration system.
+
+Two-tier like the reference (`/root/reference/utils/config_reader.hpp:13-42`
++ popl CLI flags): YAML files describing cameras/datasets, plus dataclass
+configs for every subsystem. Unlike the reference — which hard-codes TSDF
+voxel size / truncation / max-depth at call sites
+(`/root/reference/main/offline_eval.cc:54-55`) — all map parameters live in
+`TsdfConfig`.
+
+The YAML schema is compatible with the reference's `configs/*.yaml`
+(Camera.fx/fy/cx/cy, `depthmap_factor`, `tsdf.width/height`, Feature.*).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import yaml
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    depthmap_factor: float = 5000.0  # raw depth units per meter
+    # stereo only:
+    focal_x_baseline: float = 0.0
+
+
+@dataclass(frozen=True)
+class TsdfConfig:
+    """Dense map parameters.
+
+    Defaults mirror the reference call sites: voxel 0.01 m, truncation
+    6x voxel, max depth 6 m (`/root/reference/main/offline_eval.cc:54-55`),
+    weight clamp 40 and carving threshold 0.9
+    (`/root/reference/utils/tsdf/voxel_tsdf.cu:238,880`).
+    """
+
+    voxel_size: float = 0.01
+    truncation: float = 0.06
+    max_depth: float = 6.0
+    min_depth: float = 0.1
+    max_weight: float = 40.0
+    carve_threshold: float = 0.9
+    raycast_min_weight: float = 10.0
+    # capacities (static shapes; reference uses 2^18 blocks / 2^22 hash
+    # entries, `/root/reference/utils/tsdf/voxel_mem.cuh:11-13`)
+    log2_num_blocks: int = 16
+    log2_hash_size: int = 18
+    max_visible_blocks: int = 8192
+    # image feed size (reference `tsdf.width/height` yaml keys)
+    width: int = 640
+    height: int = 480
+
+    @property
+    def num_blocks(self) -> int:
+        return 1 << self.log2_num_blocks
+
+    @property
+    def hash_size(self) -> int:
+        return 1 << self.log2_hash_size
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """ORB frontend parameters (reference Feature.* yaml keys,
+    `/root/reference/configs/TUM_RGBD_rgbd_1.yaml:31-37`)."""
+
+    max_num_keypoints: int = 1000
+    scale_factor: float = 1.2
+    num_levels: int = 8
+    ini_fast_threshold: int = 20
+    min_fast_threshold: int = 7
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    pyramid_levels: int = 4
+    gn_iterations: int = 10
+    huber_delta: float = 5.0  # pixels
+    match_hamming_max: int = 64
+    match_ratio: float = 0.8
+    keyframe_min_interval: int = 5
+    keyframe_translation: float = 0.15  # meters
+    keyframe_rotation: float = 0.25  # radians
+    max_map_points: int = 20000
+    max_keyframes: int = 256
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    window_size: int = 8
+    iterations: int = 8
+    huber_delta: float = 2.0
+    damping: float = 1e-4
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    tsdf: TsdfConfig = field(default_factory=TsdfConfig)
+    feature: FeatureConfig = field(default_factory=FeatureConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    # extrinsics: 4x4 row-major depth-cam -> tracking-cam transform
+    extrinsics: Optional[list] = None
+
+
+def _get(node: dict, key: str, default):
+    return node[key] if node and key in node else default
+
+
+def load_yaml_config(path: str) -> SystemConfig:
+    """Parse a reference-style YAML config into a SystemConfig.
+
+    Accepts both flat reference keys (`Camera.fx`, `depthmap_factor`,
+    `tsdf.width`) and nested native keys (`tsdf: {voxel_size: ...}`).
+    """
+    with open(path) as f:
+        node = yaml.safe_load(f) or {}
+
+    cam_node = node.get("Camera", node.get("camera", {})) or {}
+    if not cam_node:
+        # reference flat style: Camera.fx etc.
+        cam_node = {
+            k.split(".", 1)[1]: v for k, v in node.items() if k.startswith("Camera.")
+        }
+    cam = CameraConfig(
+        fx=float(_get(cam_node, "fx", 525.0)),
+        fy=float(_get(cam_node, "fy", 525.0)),
+        cx=float(_get(cam_node, "cx", 319.5)),
+        cy=float(_get(cam_node, "cy", 239.5)),
+        width=int(_get(cam_node, "cols", _get(cam_node, "width", 640))),
+        height=int(_get(cam_node, "rows", _get(cam_node, "height", 480))),
+        fps=float(_get(cam_node, "fps", 30.0)),
+        depthmap_factor=float(
+            node.get("depthmap_factor", cam_node.get("depthmap_factor", 5000.0))
+        ),
+        focal_x_baseline=float(_get(cam_node, "focal_x_baseline", 0.0)),
+    )
+
+    tsdf_node = node.get("tsdf", {}) or {}
+    tsdf_kwargs = {}
+    for f_ in dataclasses.fields(TsdfConfig):
+        if f_.name in tsdf_node:
+            tsdf_kwargs[f_.name] = type(f_.default)(tsdf_node[f_.name])
+    # reference flat keys tsdf.width/tsdf.height
+    for k in ("width", "height"):
+        flat = node.get(f"tsdf.{k}")
+        if flat is not None:
+            tsdf_kwargs[k] = int(flat)
+    tsdf = TsdfConfig(**tsdf_kwargs)
+
+    feat_node = node.get("Feature", node.get("feature", {})) or {}
+    feat = FeatureConfig(
+        max_num_keypoints=int(_get(feat_node, "max_num_keypoints", 1000)),
+        scale_factor=float(_get(feat_node, "scale_factor", 1.2)),
+        num_levels=int(_get(feat_node, "num_levels", 8)),
+        ini_fast_threshold=int(_get(feat_node, "ini_fast_threshold", 20)),
+        min_fast_threshold=int(_get(feat_node, "min_fast_threshold", 7)),
+    )
+
+    extrinsics = node.get("Extrinsics", node.get("extrinsics"))
+
+    return SystemConfig(camera=cam, tsdf=tsdf, feature=feat, extrinsics=extrinsics)
