@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ra_slam_tpu.core.camera import PinholeCamera
+from ra_slam_tpu.core.config import TsdfConfig
+from ra_slam_tpu.core.se3 import SE3, exp_se3
+from ra_slam_tpu.map.meshing import extract_mesh, save_mesh
+from ra_slam_tpu.map.raycast import raycast
+from ra_slam_tpu.map.voxel_map import create_map, integrate_frame
+
+CFG = TsdfConfig(
+    voxel_size=0.02,
+    truncation=0.12,
+    max_depth=3.0,
+    min_depth=0.2,
+    raycast_min_weight=2.0,
+    log2_num_blocks=10,
+    log2_hash_size=12,
+    max_visible_blocks=512,
+    width=64,
+    height=48,
+)
+CAM = PinholeCamera.create(40.0, 40.0, 32.0, 24.0, 64, 48)
+
+
+def fused_wall_map(n_frames=3, z=1.0):
+    m = create_map(CFG)
+    depth = jnp.full((48, 64), z, dtype=jnp.float32)
+    rgb = jnp.full((48, 64, 3), 200.0, dtype=jnp.float32)
+    ht = jnp.full((48, 64), 0.9, dtype=jnp.float32)
+    lt = jnp.full((48, 64), 0.1, dtype=jnp.float32)
+    pose = SE3.identity()
+    step = jax.jit(
+        lambda mm: integrate_frame(mm, rgb, depth, ht, lt, CAM, pose, CFG, carve=False)[0]
+    )
+    for _ in range(n_frames):
+        m = step(m)
+    return m
+
+
+def test_raycast_hits_wall_at_right_depth():
+    m = fused_wall_map(4)
+    out = raycast(m, CAM, SE3.identity(), CFG, grid_extent=64)
+    hit = np.asarray(out["hit"])
+    depth = np.asarray(out["depth"])
+    # central region must hit
+    ctr = hit[16:32, 24:40]
+    assert ctr.mean() > 0.95
+    d_ctr = depth[16:32, 24:40]
+    np.testing.assert_allclose(d_ctr[ctr], 1.0, atol=0.05)
+    # normals point along -z or +z (wall facing camera)
+    nrm = np.asarray(out["normal"])[16:32, 24:40]
+    assert np.abs(nrm[ctr][:, 2]).mean() > 0.9
+    # rgba: alpha=255 at hits, semantic overlay pushes red up
+    rgba = np.asarray(out["rgba"])[16:32, 24:40]
+    assert (rgba[ctr][:, 3] == 255).all()
+
+
+def test_raycast_from_offset_pose():
+    m = fused_wall_map(4)
+    # camera moved 0.2m back: wall should appear at depth 1.2
+    world_T_cam = exp_se3(jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, -0.2]))
+    cam_T_world = world_T_cam.inverse()
+    out = raycast(m, CAM, cam_T_world, CFG, grid_extent=64)
+    hit = np.asarray(out["hit"])[20:28, 28:36]
+    depth = np.asarray(out["depth"])[20:28, 28:36]
+    assert hit.mean() > 0.9
+    np.testing.assert_allclose(depth[hit], 1.2, atol=0.05)
+
+
+def test_raycast_misses_empty_map():
+    m = create_map(CFG)
+    out = raycast(m, CAM, SE3.identity(), CFG, grid_extent=32)
+    assert not np.asarray(out["hit"]).any()
+    assert (np.asarray(out["depth"]) == 0).all()
+
+
+def test_extract_mesh_wall():
+    m = fused_wall_map(3)
+    verts, indices, probs = extract_mesh(m, CFG, min_weight=1.5)
+    assert len(verts) > 100
+    assert len(verts) == 3 * len(indices)
+    assert probs.shape == (len(verts),)
+    # surface near z = 1 (within a voxel of the zero crossing; the
+    # acquire prior biases it slightly toward the camera)
+    assert np.abs(verts[:, 2] - 1.0).max() < 0.06
+    # semantic probs fused toward ht=0.9
+    assert probs.mean() > 0.6
+    # all triangles reference valid vertices
+    assert indices.max() == len(verts) - 1
+
+
+def test_mesh_empty_map():
+    m = create_map(CFG)
+    verts, indices, probs = extract_mesh(m, CFG)
+    assert len(verts) == 0 and len(indices) == 0
+
+
+def test_save_mesh_binary_roundtrip(tmp_path):
+    m = fused_wall_map(2)
+    verts, indices, probs = extract_mesh(m, CFG)
+    vp, ip, pp = (
+        str(tmp_path / "mesh_vertices.bin"),
+        str(tmp_path / "mesh_indices.bin"),
+        str(tmp_path / "mesh_vertices_prob.bin"),
+    )
+    save_mesh(verts, indices, probs, vp, ip, pp)
+    v2 = np.fromfile(vp, dtype=np.float32).reshape(-1, 3)
+    i2 = np.fromfile(ip, dtype=np.int32).reshape(-1, 3)
+    p2 = np.fromfile(pp, dtype=np.float32)
+    np.testing.assert_array_equal(v2, verts)
+    np.testing.assert_array_equal(i2, indices)
+    np.testing.assert_array_equal(p2, probs)
