@@ -114,11 +114,15 @@ def allocate_keys(m: VoxelMap, cand_keys: jax.Array) -> VoxelMap:
     new_mask = uniq & ~exists
     n_new = jnp.sum(new_mask.astype(jnp.int32))
 
-    # 3. compact the first MAX_NEW_BLOCKS new keys.
-    order = jnp.argsort(~new_mask, stable=True)
+    # 3. compact the first MAX_NEW_BLOCKS new keys (cumsum + scatter;
+    #    the keys are already sorted so this is stable).
     take = min(MAX_NEW_BLOCKS, cand_keys.shape[0])
-    cand = skeys[order[:take]]
-    cvalid = new_mask[order[:take]]
+    dest = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    dest = jnp.where(new_mask & (dest < take), dest, take)
+    cand = jnp.full((take,), INVALID_KEY, dtype=jnp.int32).at[dest].set(
+        skeys, mode="drop"
+    )
+    cvalid = cand != INVALID_KEY
     overflow = n_new - jnp.sum(cvalid.astype(jnp.int32))
 
     # 4. grab free pool slots via cumsum ranking (reference: atomic
@@ -255,9 +259,13 @@ def visible_blocks(
     visible = m.active & ~out
 
     count = jnp.sum(visible.astype(jnp.int32))
-    order = jnp.argsort(~visible, stable=True)
-    idx = order[: cfg.max_visible_blocks].astype(jnp.int32)
-    mask = visible[idx]
+    vmax = cfg.max_visible_blocks
+    dest = jnp.cumsum(visible.astype(jnp.int32)) - 1
+    dest = jnp.where(visible & (dest < vmax), dest, vmax)
+    idx = jnp.zeros((vmax,), dtype=jnp.int32).at[dest].set(
+        jnp.arange(m.num_blocks, dtype=jnp.int32), mode="drop"
+    )
+    mask = jnp.arange(vmax) < jnp.minimum(count, vmax)
     return idx, mask, count
 
 
