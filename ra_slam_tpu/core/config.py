@@ -56,6 +56,7 @@ class TsdfConfig:
     log2_num_blocks: int = 16
     log2_hash_size: int = 18
     max_visible_blocks: int = 8192
+    max_new_blocks: int = 8192  # per-frame allocation cap (overflow counted)
     # image feed size (reference `tsdf.width/height` yaml keys)
     width: int = 640
     height: int = 480

@@ -1,4 +1,16 @@
-from ra_slam_tpu.io.synthetic import SyntheticScene, synthetic_sequence
 from ra_slam_tpu.io.dataset import Frame, RGBDDataset
+from ra_slam_tpu.io.synthetic import (
+    SyntheticBoxDataset,
+    SyntheticCameraSpec,
+    look_at,
+    render_box_room,
+)
 
-__all__ = ["SyntheticScene", "synthetic_sequence", "Frame", "RGBDDataset"]
+__all__ = [
+    "Frame",
+    "RGBDDataset",
+    "SyntheticBoxDataset",
+    "SyntheticCameraSpec",
+    "look_at",
+    "render_box_room",
+]

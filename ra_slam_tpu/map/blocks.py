@@ -60,6 +60,18 @@ def hash_key(key: jax.Array, log2_size: int) -> jax.Array:
     return h.astype(jnp.int32)
 
 
+def owner_of(key: jax.Array, n_shards: int) -> jax.Array:
+    """int32 key -> owning shard in [0, n_shards) for multi-device map
+    sharding. Uses a different multiplier than `hash_key` so shard
+    assignment is independent of each shard's local table index (keys on
+    one shard would otherwise concentrate in 1/n of its local table)."""
+    if n_shards == 1:
+        return jnp.zeros_like(key)
+    h = key.astype(jnp.uint32) * jnp.uint32(2246822519)
+    h = h ^ (h >> jnp.uint32(15))
+    return (h % jnp.uint32(n_shards)).astype(jnp.int32)
+
+
 def voxel_offsets() -> jax.Array:
     """[512, 3] int32: intra-block voxel offsets in x-major order
     (matches the reference's OffsetToIndex layout

@@ -52,9 +52,6 @@ from ra_slam_tpu.map.blocks import (
 )
 from ra_slam_tpu.map.hash_table import HashTable, ht_insert, ht_lookup, ht_remove
 
-MAX_NEW_BLOCKS = 4096  # per-frame allocation cap (counted on overflow)
-
-
 class VoxelMap(NamedTuple):
     """Fixed-capacity SoA voxel-block pool + spatial hash (a pytree)."""
 
@@ -97,7 +94,9 @@ def num_active(m: VoxelMap) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def allocate_keys(m: VoxelMap, cand_keys: jax.Array) -> VoxelMap:
+def allocate_keys(
+    m: VoxelMap, cand_keys: jax.Array, max_new_blocks: int = 8192
+) -> VoxelMap:
     """Allocate blocks for a batch of candidate keys [M] (may contain
     duplicates and INVALID_KEY). Deterministic replacement for the
     reference's per-pixel lock-contended `VoxelHashTable::Allocate`.
@@ -114,9 +113,9 @@ def allocate_keys(m: VoxelMap, cand_keys: jax.Array) -> VoxelMap:
     new_mask = uniq & ~exists
     n_new = jnp.sum(new_mask.astype(jnp.int32))
 
-    # 3. compact the first MAX_NEW_BLOCKS new keys (cumsum + scatter;
+    # 3. compact the first max_new_blocks new keys (cumsum + scatter;
     #    the keys are already sorted so this is stable).
-    take = min(MAX_NEW_BLOCKS, cand_keys.shape[0])
+    take = min(max_new_blocks, cand_keys.shape[0])
     dest = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
     dest = jnp.where(new_mask & (dest < take), dest, take)
     cand = jnp.full((take,), INVALID_KEY, dtype=jnp.int32).at[dest].set(
@@ -216,7 +215,7 @@ def allocate_from_depth(
     stride: int = 1,
 ) -> VoxelMap:
     keys = depth_to_candidate_keys(depth, cam, cam_T_world, cfg, stride)
-    return allocate_keys(m, keys)
+    return allocate_keys(m, keys, cfg.max_new_blocks)
 
 
 # ---------------------------------------------------------------------------

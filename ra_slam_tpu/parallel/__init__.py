@@ -1,0 +1,13 @@
+from ra_slam_tpu.parallel.sharded_map import (
+    create_sharded_map,
+    local_config,
+    make_sharded_integrate_step,
+    map_partition_specs,
+)
+
+__all__ = [
+    "create_sharded_map",
+    "local_config",
+    "make_sharded_integrate_step",
+    "map_partition_specs",
+]

@@ -1,0 +1,96 @@
+"""Sharded map on a virtual 8-device CPU mesh (conftest sets it up).
+
+The reference has no distributed tests to mirror (single GPU,
+SURVEY.md §2.9); these validate the greenfield sharding design: a
+sharded fusion step must produce exactly the same global map as the
+single-device step.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ra_slam_tpu.core.camera import PinholeCamera
+from ra_slam_tpu.core.config import TsdfConfig
+from ra_slam_tpu.core.se3 import SE3
+from ra_slam_tpu.map import voxel_map as vm
+from ra_slam_tpu.map.blocks import owner_of
+from ra_slam_tpu.parallel import create_sharded_map, make_sharded_integrate_step
+
+
+def _cfg():
+    return TsdfConfig(
+        voxel_size=0.05,
+        truncation=0.3,
+        max_depth=6.0,
+        log2_num_blocks=13,
+        log2_hash_size=16,
+        max_visible_blocks=4096,
+    )
+
+
+def _frame(H=120, W=160):
+    cam = PinholeCamera(
+        fx=jnp.float32(80.0), fy=jnp.float32(80.0),
+        cx=jnp.float32((W - 1) / 2), cy=jnp.float32((H - 1) / 2),
+        width=W, height=H,
+    )
+    vs, us = np.mgrid[0:H, 0:W]
+    depth = jnp.asarray(2.0 + 0.3 * np.sin(us / 17.0) * np.cos(vs / 13.0), jnp.float32)
+    rgb = jnp.asarray(np.stack([us % 256, vs % 256, (us + vs) % 256], -1), jnp.float32)
+    ht = jnp.full((H, W), 0.8, jnp.float32)
+    lt = jnp.full((H, W), 0.2, jnp.float32)
+    return cam, rgb, depth, ht, lt
+
+
+def _canon(rows: np.ndarray) -> np.ndarray:
+    order = np.lexsort((rows[:, 2], rows[:, 1], rows[:, 0]))
+    return rows[order]
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_matches_single_device(n_dev):
+    devs = jax.devices()[:n_dev]
+    mesh = Mesh(np.array(devs), ("map",))
+    cfg = _cfg()
+    cam, rgb, depth, ht, lt = _frame()
+    pose = SE3.identity()
+
+    ms = create_sharded_map(cfg, mesh)
+    step = make_sharded_integrate_step(mesh, cfg)
+    m1 = vm.create_map(cfg)
+    step1 = jax.jit(functools.partial(vm.integrate_frame, cfg=cfg))
+
+    for _ in range(3):
+        ms, stats_s = step(ms, rgb, depth, ht, lt, cam, pose)
+        m1, stats_1 = step1(m1, rgb, depth, ht, lt, cam, pose)
+
+    assert int(stats_s["num_active"]) == int(stats_1["num_active"])
+    assert int(stats_s["alloc_failures"]) == 0
+
+    a = _canon(vm.gather_valid_semantic(jax.device_get(ms), cfg))
+    b = _canon(vm.gather_valid_semantic(m1, cfg))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_owner_partition_is_balanced():
+    keys = jnp.arange(1, 100001, dtype=jnp.int32)
+    owners = np.asarray(owner_of(keys, 8))
+    counts = np.bincount(owners, minlength=8)
+    assert counts.min() > 0.8 * counts.mean()
+    assert counts.max() < 1.2 * counts.mean()
+
+
+def test_dryrun_entrypoints():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    m, stats = jax.jit(fn)(*args)
+    jax.block_until_ready(m.tsdf)
+    assert int(stats["num_active"]) > 0
+    g.dryrun_multichip(8)
