@@ -84,14 +84,18 @@ class FeatureConfig:
 
 @dataclass(frozen=True)
 class TrackingConfig:
-    pyramid_levels: int = 4
     gn_iterations: int = 10
     huber_delta: float = 5.0  # pixels
     match_hamming_max: int = 64
     match_ratio: float = 0.8
-    keyframe_min_interval: int = 5
+    match_radius: float = 20.0  # projective gating radius (pixels)
+    min_inliers: int = 20  # below this -> tracking lost
+    min_depth: float = 0.1  # meters, for landmark creation
+    max_depth: float = 8.0
+    keyframe_min_interval: int = 3
     keyframe_translation: float = 0.15  # meters
     keyframe_rotation: float = 0.25  # radians
+    keyframe_min_inliers: int = 60  # weak tracking forces a keyframe
     max_map_points: int = 20000
     max_keyframes: int = 256
 

@@ -88,11 +88,20 @@ def render_box_room(
     face = axis * 2 + (~sign_pos).astype(np.int64)  # (+x,-x,+y,-y,+z,-z)
 
     hit = o + t[..., None] * d_world
-    # checkerboard shading in the two in-plane coordinates for texture
+    # Per-cell pseudo-random shading in the two in-plane coordinates.
+    # NOT a binary checkerboard on purpose: FAST-9/16 cannot fire on
+    # checkerboard X-junctions (two bright + two dark arcs of ~8 circle
+    # pixels each, never 9 contiguous), so a checker room is effectively
+    # textureless to the frontend. Hashed cell intensities make every
+    # cell junction an L-corner between >=3 distinct levels, which FAST
+    # detects and ORB matches view-consistently.
     a1 = np.take_along_axis(hit, ((axis + 1) % 3)[..., None], -1)[..., 0]
     a2 = np.take_along_axis(hit, ((axis + 2) % 3)[..., None], -1)[..., 0]
-    check = (np.floor(a1 / checker) + np.floor(a2 / checker)) % 2
-    shade = np.where(check > 0.5, 1.0, 0.72)
+    i1 = np.floor(a1 / checker).astype(np.int64)
+    i2 = np.floor(a2 / checker).astype(np.int64)
+    h = (i1 * 73856093) ^ (i2 * 19349663) ^ (face * 83492791)
+    h = (h ^ (h >> 13)) * 1274126177
+    shade = 0.45 + 0.55 * (((h ^ (h >> 16)) & 0xFF).astype(np.float64) / 255.0)
 
     rgb = (_FACE_COLORS[face] * shade[..., None]).clip(0, 255).astype(np.uint8)
     depth = t.astype(np.float32)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BLOCK_LEN = 8
 BLOCK_VOLUME = BLOCK_LEN**3  # 512
@@ -26,7 +27,11 @@ KEY_OFFSET = 1 << (KEY_BITS - 1)  # 512
 KEY_MASK = (1 << KEY_BITS) - 1
 
 # Sentinel for "no key" — outside the packable range (top bit pattern).
-INVALID_KEY = jnp.int32(0x7FFFFFFF)
+# NOTE: a Python int on purpose. A `jnp.int32` here would be a concrete
+# device array; captured as a jit-closure constant it costs a ~9 ms
+# runtime penalty PER USE on the remote-TPU backend (measured), where a
+# Python literal folds into the HLO for free.
+INVALID_KEY = 0x7FFFFFFF
 
 
 def pack_block_coords(coords: jax.Array) -> jax.Array:
@@ -56,7 +61,7 @@ def hash_key(key: jax.Array, log2_size: int) -> jax.Array:
     `/root/reference/utils/tsdf/voxel_hash.cu:19-23`; one-word keys let
     us use the cheaper multiply-shift form).
     """
-    h = (key.astype(jnp.uint32) * jnp.uint32(2654435769)) >> jnp.uint32(32 - log2_size)
+    h = (key.astype(jnp.uint32) * np.uint32(2654435769)) >> (32 - log2_size)
     return h.astype(jnp.int32)
 
 
@@ -67,9 +72,9 @@ def owner_of(key: jax.Array, n_shards: int) -> jax.Array:
     one shard would otherwise concentrate in 1/n of its local table)."""
     if n_shards == 1:
         return jnp.zeros_like(key)
-    h = key.astype(jnp.uint32) * jnp.uint32(2246822519)
-    h = h ^ (h >> jnp.uint32(15))
-    return (h % jnp.uint32(n_shards)).astype(jnp.int32)
+    h = key.astype(jnp.uint32) * np.uint32(2246822519)
+    h = h ^ (h >> 15)
+    return (h % n_shards).astype(jnp.int32)
 
 
 def voxel_offsets() -> jax.Array:

@@ -1,0 +1,94 @@
+"""Fixed-capacity keyframe database.
+
+The reference reads OpenVSLAM's keyframe/frame-statistics store through
+`map_db_` (`/root/reference/modules/slam_module.cc:38-54`) and its
+DBoW2 index for loop retrieval. Here: one pytree of dense arrays —
+poses, per-keyframe observations (landmark id + pixel), descriptors,
+and a mean-descriptor embedding used for loop-closure retrieval (the
+MXU replacement for the BoW inverted index; see
+`features/matching.py`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ra_slam_tpu.core.se3 import SE3
+from ra_slam_tpu.features.matching import unpack_pm1
+
+
+class Keyframes(NamedTuple):
+    R: jax.Array  # [K, 3, 3] cam_T_world rotation
+    t: jax.Array  # [K, 3]
+    valid: jax.Array  # [K] bool
+    frame_id: jax.Array  # [K] int32 source frame
+    timestamp: jax.Array  # [K] float64-as-f32 seconds
+    # per-keyframe feature observations (fixed F slots)
+    obs_lm: jax.Array  # [K, F] int32 landmark index (-1 = none)
+    obs_uv: jax.Array  # [K, F, 2] float32 pixel
+    obs_w: jax.Array  # [K, F] float32 weight (0 = invalid slot)
+    desc: jax.Array  # [K, F, 8] uint32 feature descriptors
+    embed: jax.Array  # [K, 256] float32 mean +-1 descriptor (loop retrieval)
+
+    @property
+    def capacity(self) -> int:
+        return self.R.shape[0]
+
+    @property
+    def num_features(self) -> int:
+        return self.obs_lm.shape[1]
+
+    def pose(self, k) -> SE3:
+        return SE3(self.R[k], self.t[k])
+
+
+def create_keyframes(capacity: int, num_features: int) -> Keyframes:
+    K, F = capacity, num_features
+    return Keyframes(
+        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3)),
+        t=jnp.zeros((K, 3), jnp.float32),
+        valid=jnp.zeros((K,), bool),
+        frame_id=jnp.full((K,), -1, jnp.int32),
+        timestamp=jnp.zeros((K,), jnp.float32),
+        obs_lm=jnp.full((K, F), -1, jnp.int32),
+        obs_uv=jnp.zeros((K, F, 2), jnp.float32),
+        obs_w=jnp.zeros((K, F), jnp.float32),
+        desc=jnp.zeros((K, F, 8), jnp.uint32),
+        embed=jnp.zeros((K, 256), jnp.float32),
+    )
+
+
+def insert_keyframe(
+    kfs: Keyframes,
+    slot: jax.Array,  # int32 insertion slot (= kf counter)
+    pose: SE3,
+    frame_id: jax.Array,
+    timestamp: jax.Array,
+    obs_lm: jax.Array,  # [F] int32
+    obs_uv: jax.Array,  # [F, 2]
+    obs_w: jax.Array,  # [F]
+    desc: jax.Array,  # [F, 8] uint32
+) -> Keyframes:
+    """Write one keyframe at `slot` (functional, jit-safe)."""
+    pm1 = unpack_pm1(desc)  # [F, 256]
+    wsum = jnp.maximum(jnp.sum(obs_w > 0), 1)
+    embed = jnp.sum(jnp.where((obs_w > 0)[:, None], pm1, 0.0), axis=0) / wsum
+    return Keyframes(
+        R=kfs.R.at[slot].set(pose.R),
+        t=kfs.t.at[slot].set(pose.t),
+        valid=kfs.valid.at[slot].set(True),
+        frame_id=kfs.frame_id.at[slot].set(frame_id),
+        timestamp=kfs.timestamp.at[slot].set(timestamp),
+        obs_lm=kfs.obs_lm.at[slot].set(obs_lm),
+        obs_uv=kfs.obs_uv.at[slot].set(obs_uv),
+        obs_w=kfs.obs_w.at[slot].set(obs_w),
+        desc=kfs.desc.at[slot].set(desc),
+        embed=kfs.embed.at[slot].set(embed),
+    )
+
+
+def num_keyframes(kfs: Keyframes) -> jax.Array:
+    return jnp.sum(kfs.valid.astype(jnp.int32))
