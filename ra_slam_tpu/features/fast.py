@@ -82,10 +82,32 @@ def fast_corners(
     selected by global top-k score after 3x3 NMS.
     """
     H, W = img.shape
-    s = _nms3(fast_score(img, threshold))
+    raw = fast_score(img, threshold)
+    s = _nms3(raw)
     flat = s.reshape(-1)
     vals, idx = jax.lax.top_k(flat, max_corners)
-    u = (idx % W).astype(jnp.float32)
-    v = (idx // W).astype(jnp.float32)
+    ui = (idx % W).astype(jnp.int32)
+    vi = (idx // W).astype(jnp.int32)
     valid = vals > 0.0
+
+    # Subpixel localization: 1-D parabola fits on the raw corner score in
+    # u and v. Integer-pixel corners cost ~0.5 px of reprojection noise
+    # (= centimeters of pose error at SLAM working depths); the fit
+    # recovers most of it for free.
+    uc = jnp.clip(ui, 1, W - 2)
+    vc = jnp.clip(vi, 1, H - 2)
+    c = raw[vc, uc]
+    left, right = raw[vc, uc - 1], raw[vc, uc + 1]
+    up, down = raw[vc - 1, uc], raw[vc + 1, uc]
+    du = _parabola_offset(left, c, right)
+    dv = _parabola_offset(up, c, down)
+    u = ui.astype(jnp.float32) + jnp.where(valid, du, 0.0)
+    v = vi.astype(jnp.float32) + jnp.where(valid, dv, 0.0)
     return jnp.stack([u, v], axis=-1), vals, valid
+
+
+def _parabola_offset(lo: jax.Array, c: jax.Array, hi: jax.Array) -> jax.Array:
+    """Vertex offset in [-0.5, 0.5] of the parabola through (-1,lo),(0,c),(1,hi)."""
+    denom = 2.0 * c - lo - hi
+    off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (hi - lo) / jnp.maximum(denom, 1e-6), 0.0)
+    return jnp.clip(off, -0.5, 0.5)

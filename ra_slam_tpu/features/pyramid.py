@@ -25,11 +25,18 @@ def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int = 3) -> jax.Ar
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x / sigma) ** 2)
     k = k / jnp.sum(k)
+    # Full f32 precision: the MXU's default bf16 contraction costs ~0.5
+    # intensity levels of noise, which shifts FAST subpixel fits by
+    # tenths of a pixel and measurably degrades pose accuracy.
+    hi = jax.lax.Precision.HIGHEST
     pad = [(radius, radius), (0, 0)]
     v = jnp.pad(img, pad, mode="reflect")
-    v = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(v)
+    v = jax.vmap(
+        lambda col: jnp.convolve(col, k, mode="valid", precision=hi),
+        in_axes=1, out_axes=1,
+    )(v)
     h = jnp.pad(v, [(0, 0), (radius, radius)], mode="reflect")
-    h = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(h)
+    h = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid", precision=hi))(h)
     return h
 
 
@@ -54,7 +61,12 @@ def build_pyramid(
     H, W = img.shape
     levels = [img]
     for h, w in pyramid_shapes(H, W, num_levels, scale_factor)[1:]:
-        levels.append(jax.image.resize(img, (h, w), method="linear"))
+        levels.append(
+            jax.image.resize(
+                img, (h, w), method="linear",
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
     return levels
 
 

@@ -1,0 +1,298 @@
+"""Local bundle adjustment: batched sparse Gauss-Newton with Schur trick.
+
+The reference outsources local/global BA to g2o inside OpenVSLAM
+(SURVEY.md §2.8; `/root/reference/INSTALL.md:36-38`). g2o is a
+pointer-graph CPU solver — the TPU formulation instead treats the whole
+window as dense batched tensors with static shapes:
+
+- All residuals/Jacobians for every (keyframe, feature-slot) observation
+  are computed in one vmapped pass: ``r [N,2], J_pose [N,2,6],
+  J_point [N,2,3]`` with per-observation robust weights.
+- The landmark (3x3) diagonal of the normal equations is inverted in
+  batch, and the pose-landmark coupling blocks are scattered into a
+  dense ``[L, W, 6, 3]`` tensor so the reduced camera system
+  ``S = H_pp - H_pl H_ll^-1 H_pl^T`` is a single einsum (MXU).
+- The reduced ``[6W, 6W]`` system is solved densely (W is the local
+  window, typically 4-16 keyframes) and landmark updates come from
+  back-substitution.
+
+Everything is fixed-iteration, fixed-shape, jit-able; the same machinery
+runs per-shard under `shard_map` with a `psum` over the reduced camera
+system for distributed BA (SURVEY.md §2.9).
+
+Gauge freedom is fixed by a large diagonal prior on the oldest window
+pose (and on any keyframe marked fixed), mirroring g2o's `set_fixed`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ra_slam_tpu.core.camera import PinholeCamera
+from ra_slam_tpu.core.se3 import SE3, exp_se3
+from ra_slam_tpu.slam.keyframes import Keyframes
+from ra_slam_tpu.slam.landmarks import Landmarks
+from ra_slam_tpu.slam.pnp import reprojection_residuals
+
+_HIGH = jax.lax.Precision.HIGHEST
+_FIX_PRIOR = 1e8  # diagonal prior that pins a pose (g2o set_fixed analog)
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+class BAWindow(NamedTuple):
+    """Compact static-shape view of the active BA problem."""
+
+    kf_slot: jax.Array  # [W] int32 keyframe-db slot per window row
+    kf_free: jax.Array  # [W] bool — pose is optimized (False = fixed/pad)
+    poses: SE3  # [W] cam_T_world
+    loc2glob: jax.Array  # [L] int32 global landmark id (INT_MAX = unused)
+    points: jax.Array  # [L, 3] world positions
+    point_ok: jax.Array  # [L] bool slot holds a real landmark
+    obs_k: jax.Array  # [N] int32 window row of each observation
+    obs_l: jax.Array  # [N] int32 local landmark index
+    obs_uv: jax.Array  # [N, 2] float32
+    obs_w: jax.Array  # [N] float32 (0 = invalid)
+
+
+class BAStats(NamedTuple):
+    num_poses: jax.Array
+    num_points: jax.Array
+    num_obs: jax.Array
+    rmse_before: jax.Array
+    rmse_after: jax.Array
+
+
+def gather_window(
+    kfs: Keyframes,
+    lms: Landmarks,
+    kf_counter: jax.Array,
+    window: int,
+    max_points: int,
+) -> BAWindow:
+    """Extract the last `window` keyframes + their landmarks (static shapes).
+
+    Keyframe slots are insertion-ordered (slot == keyframe counter at
+    insert time), so the local window is a contiguous slot range. The
+    oldest row is marked fixed to anchor the gauge.
+    """
+    W, L = window, max_points
+    F = kfs.num_features
+    start = jnp.maximum(kf_counter - W, 0)
+    slot = start + jnp.arange(W, dtype=jnp.int32)
+    kf_ok = slot < kf_counter
+    slot_c = jnp.minimum(slot, kfs.capacity - 1)
+
+    poses = SE3(kfs.R[slot_c], kfs.t[slot_c])
+    # oldest row anchors the gauge; padded rows are never free
+    kf_free = kf_ok & (jnp.arange(W) > 0)
+
+    # --- local landmark set: sorted-unique of the window's observed ids
+    gid = jnp.where(kf_ok[:, None], kfs.obs_lm[slot_c], -1).reshape(-1)  # [W*F]
+    w_obs = jnp.where(kf_ok[:, None], kfs.obs_w[slot_c], 0.0).reshape(-1)
+    gid = jnp.where((gid >= 0) & (w_obs > 0), gid, _INT_MAX)
+    sorted_gid = jnp.sort(gid)
+    is_first = jnp.concatenate(
+        [jnp.array([True]), sorted_gid[1:] != sorted_gid[:-1]]
+    ) & (sorted_gid < _INT_MAX)
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # unique rank
+    dest = jnp.where(is_first & (rank < L), rank, L)
+    loc2glob = jnp.full((L,), _INT_MAX, jnp.int32)
+    loc2glob = loc2glob.at[dest].set(sorted_gid, mode="drop")
+    point_ok = loc2glob < _INT_MAX
+
+    glob_c = jnp.minimum(loc2glob, lms.capacity - 1)
+    points = lms.pos[glob_c]
+    point_ok = point_ok & lms.valid[glob_c]
+
+    # --- flat observations with local landmark indices (binary search)
+    obs_gid = jnp.where(kf_ok[:, None], kfs.obs_lm[slot_c], -1).reshape(-1)
+    obs_l = jnp.searchsorted(loc2glob, jnp.maximum(obs_gid, 0)).astype(jnp.int32)
+    obs_l = jnp.minimum(obs_l, L - 1)
+    hit = (obs_gid >= 0) & (loc2glob[obs_l] == obs_gid) & point_ok[obs_l]
+    obs_k = jnp.repeat(jnp.arange(W, dtype=jnp.int32), F)
+    obs_uv = kfs.obs_uv[slot_c].reshape(-1, 2)
+    obs_w = jnp.where(hit, w_obs, 0.0)
+
+    return BAWindow(
+        kf_slot=slot_c,
+        kf_free=kf_free,
+        poses=poses,
+        loc2glob=loc2glob,
+        points=points,
+        point_ok=point_ok,
+        obs_k=obs_k,
+        obs_l=obs_l,
+        obs_uv=obs_uv,
+        obs_w=obs_w,
+    )
+
+
+def _robust_weight(r2: jax.Array, delta: float) -> jax.Array:
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    return jnp.where(r <= delta, 1.0, delta / r)
+
+
+def _residuals(
+    poses: SE3, points: jax.Array, win: BAWindow, cam: PinholeCamera
+):
+    """Flat residuals + Jacobians for every observation.
+
+    Returns r [N,2], J_p [N,2,6] (wrt left-mult pose twist), J_x [N,2,3]
+    (wrt world point), ok [N].
+    """
+    pose_n = jax.tree.map(lambda a: a[win.obs_k], poses)  # [N] SE3
+    pts_n = points[win.obs_l]  # [N, 3]
+    r, J_p, ok = reprojection_residuals(pose_n, pts_n, win.obs_uv, cam)
+    # dp/dX = R (camera-point wrt world-point); d(uv)/dX = J_proj @ R.
+    # J_p[..., 3:] is exactly J_proj (the translation columns), so reuse it.
+    J_x = jnp.matmul(J_p[..., 3:], pose_n.R, precision=_HIGH)  # [N, 2, 3]
+    return r, J_p, J_x, ok
+
+
+def _weighted_rmse(r: jax.Array, w: jax.Array) -> jax.Array:
+    r2 = jnp.sum(r * r, -1)
+    n = jnp.maximum(jnp.sum((w > 0).astype(r2.dtype)), 1.0)
+    return jnp.sqrt(jnp.sum(jnp.where(w > 0, r2, 0.0)) / n)
+
+
+def solve_window(
+    win: BAWindow,
+    cam: PinholeCamera,
+    iterations: int = 8,
+    huber_delta: float = 3.0,
+    damping: float = 1e-4,
+) -> Tuple[SE3, jax.Array, BAStats]:
+    """Run Schur-complement GN on a gathered window.
+
+    Returns (optimized poses [W], optimized points [L, 3], stats).
+    """
+    W = win.kf_free.shape[0]
+    L = win.points.shape[0]
+
+    def iteration(_, carry):
+        poses, points = carry
+        r, J_p, J_x, ok = _residuals(poses, points, win, cam)
+        r2 = jnp.sum(r * r, -1)
+        w = win.obs_w * ok * _robust_weight(r2, huber_delta)  # [N]
+
+        # zero the pose Jacobian of fixed rows so their update is exactly 0
+        free_n = win.kf_free[win.obs_k]
+        J_p_f = J_p * free_n[:, None, None]
+
+        Jw_p = J_p_f * w[:, None, None]
+        Jw_x = J_x * w[:, None, None]
+
+        # block-diagonal pose and landmark Hessians + gradients
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", Jw_p, J_p_f, precision=_HIGH),
+            win.obs_k, num_segments=W)  # [W, 6, 6]
+        gp = jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", Jw_p, r, precision=_HIGH),
+            win.obs_k, num_segments=W)  # [W, 6]
+        Hll = jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", Jw_x, J_x, precision=_HIGH),
+            win.obs_l, num_segments=L)  # [L, 3, 3]
+        gl = jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", Jw_x, r, precision=_HIGH),
+            win.obs_l, num_segments=L)  # [L, 3]
+
+        # pose-landmark coupling blocks, scattered dense: U[l, k] = H_pl^T
+        A = jnp.einsum("nri,nrj->nij", Jw_p, J_x, precision=_HIGH)  # [N,6,3]
+        U = jnp.zeros((L, W, 6, 3), A.dtype).at[win.obs_l, win.obs_k].add(A)
+
+        # damped landmark-block inverse (Levenberg diagonal)
+        eye3 = jnp.eye(3, dtype=Hll.dtype)
+        Hll_d = Hll + (damping + 1e-8) * eye3 + damping * Hll * eye3
+        # guard empty landmark slots (singular blocks)
+        occupied = win.point_ok & (jnp.einsum("lii->l", Hll) > 1e-12)
+        Hinv = jnp.linalg.inv(jnp.where(occupied[:, None, None], Hll_d, eye3))
+        Hinv = jnp.where(occupied[:, None, None], Hinv, 0.0)
+
+        # reduced camera system S = Hpp - U^T Hinv U  (one einsum, MXU)
+        S_off = jnp.einsum(
+            "lkab,lbc,ljdc->kajd", U, Hinv, U, precision=_HIGH
+        )  # [W, 6, W, 6]
+        S = -S_off
+        diag = jnp.arange(W)
+        S = S.at[diag, :, diag, :].add(Hpp)
+        # gauge + padding prior, plus LM damping on the pose blocks
+        prior = jnp.where(win.kf_free, damping, _FIX_PRIOR)
+        S = S.at[diag, :, diag, :].add(
+            prior[:, None, None] * jnp.eye(6, dtype=S.dtype)
+        )
+        rhs = gp - jnp.einsum(
+            "lkab,lbc,lc->ka", U, Hinv, gl, precision=_HIGH
+        )  # [W, 6]
+
+        dxi = -jnp.linalg.solve(
+            S.reshape(W * 6, W * 6), rhs.reshape(W * 6)
+        ).reshape(W, 6)
+        dxi = jnp.where(jnp.all(jnp.isfinite(dxi)), dxi, jnp.zeros_like(dxi))
+        dxi = dxi * win.kf_free[:, None]
+
+        # back-substitute landmark updates: dl = -Hinv (gl + U dxi)
+        Ud = jnp.einsum("lkab,ka->lb", U, dxi, precision=_HIGH)  # [L, 3]
+        dx = -jnp.einsum("lab,lb->la", Hinv, gl + Ud, precision=_HIGH)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dx = dx * occupied[:, None]
+
+        return exp_se3(dxi) @ poses, points + dx
+
+    r0, _, _, ok0 = _residuals(win.poses, win.points, win, cam)
+    rmse0 = _weighted_rmse(r0, win.obs_w * ok0)
+
+    poses, points = jax.lax.fori_loop(
+        0, iterations, iteration, (win.poses, win.points), unroll=True
+    )
+
+    r1, _, _, ok1 = _residuals(poses, points, win, cam)
+    rmse1 = _weighted_rmse(r1, win.obs_w * ok1)
+
+    stats = BAStats(
+        num_poses=jnp.sum(win.kf_free.astype(jnp.int32)),
+        num_points=jnp.sum(win.point_ok.astype(jnp.int32)),
+        num_obs=jnp.sum((win.obs_w > 0).astype(jnp.int32)),
+        rmse_before=rmse0,
+        rmse_after=rmse1,
+    )
+    return poses, points, stats
+
+
+def scatter_window(
+    kfs: Keyframes,
+    lms: Landmarks,
+    win: BAWindow,
+    poses: SE3,
+    points: jax.Array,
+) -> Tuple[Keyframes, Landmarks]:
+    """Write optimized poses/points back into the keyframe/landmark DBs."""
+    # fixed rows keep their pose values anyway; write-through is harmless
+    kfs = kfs._replace(
+        R=kfs.R.at[win.kf_slot].set(poses.R, mode="drop"),
+        t=kfs.t.at[win.kf_slot].set(poses.t, mode="drop"),
+    )
+    gidx = jnp.where(win.point_ok, win.loc2glob, lms.capacity)
+    lms = lms._replace(pos=lms.pos.at[gidx].set(points, mode="drop"))
+    return kfs, lms
+
+
+def local_bundle_adjustment(
+    kfs: Keyframes,
+    lms: Landmarks,
+    kf_counter: jax.Array,
+    cam: PinholeCamera,
+    window: int = 8,
+    max_points: int = 4096,
+    iterations: int = 8,
+    huber_delta: float = 3.0,
+) -> Tuple[Keyframes, Landmarks, BAStats]:
+    """Gather → solve → scatter: the full local BA step (jit-able)."""
+    win = gather_window(kfs, lms, kf_counter, window, max_points)
+    poses, points, stats = solve_window(
+        win, cam, iterations=iterations, huber_delta=huber_delta
+    )
+    kfs, lms = scatter_window(kfs, lms, win, poses, points)
+    return kfs, lms, stats

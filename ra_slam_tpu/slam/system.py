@@ -1,0 +1,235 @@
+"""Sparse visual SLAM system: tracking + keyframes + local BA.
+
+The native replacement for the reference's `SLAMSystem` wrapper around
+OpenVSLAM (`/root/reference/modules/slam_module.h:20-52`): per-frame it
+extracts ORB features, tracks against the landmark map, decides
+keyframes, and runs windowed Schur-complement BA after each insertion —
+the roles OpenVSLAM splits across its tracking and local-mapping
+threads. Here each stage is one jitted device step and the host loop is
+just orchestration: XLA's async dispatch overlaps the stages without
+explicit threads.
+
+Feedback semantics mirror `feed_RGBD_images_w_feedback`
+(`/root/reference/modules/slam_module.cc:165-185`): every processed
+frame returns (pose, tracked_ok), and only tracked poses are registered
+in the pose buffer for the mapper to query.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ra_slam_tpu.core.camera import PinholeCamera
+from ra_slam_tpu.core.config import FeatureConfig, TrackingConfig
+from ra_slam_tpu.core.se3 import SE3
+from ra_slam_tpu.features.orb import Keypoints, detect_and_describe
+from ra_slam_tpu.features.pyramid import rgb_to_gray
+from ra_slam_tpu.slam.ba import local_bundle_adjustment
+from ra_slam_tpu.slam.keyframes import Keyframes, create_keyframes, insert_keyframe
+from ra_slam_tpu.slam.tracker import (
+    TrackResult,
+    TrackState,
+    create_track_state,
+    initialize_from_frame,
+    insert_keyframe_landmarks,
+    track_frame,
+)
+from ra_slam_tpu.utils.pose_buffer import PoseBuffer
+
+
+class SlamState(NamedTuple):
+    """Full sparse-SLAM pytree state (tracker + keyframe database)."""
+
+    track: TrackState
+    kfs: Keyframes
+
+
+class FrameInfo(NamedTuple):
+    """Host-side per-frame feedback (the `_w_feedback` tuple)."""
+
+    pose: SE3
+    tracked: bool
+    num_inliers: int
+    num_matches: int
+    inserted_keyframe: bool
+    ba_rmse: float
+
+
+def _insert_kf_step(
+    state: SlamState,
+    kp: Keypoints,
+    depth: jax.Array,
+    lm_idx: jax.Array,
+    frame_id: jax.Array,
+    timestamp: jax.Array,
+    cam: PinholeCamera,
+    tcfg: TrackingConfig,
+) -> SlamState:
+    """Insert the current frame as a keyframe into both databases."""
+    slot = state.track.kf_counter  # insertion slot == counter (contiguous)
+    track, obs_lm = insert_keyframe_landmarks(
+        state.track, kp, depth, lm_idx, cam, tcfg
+    )
+    obs_w = (kp.valid & (obs_lm >= 0)).astype(jnp.float32)
+    kfs = insert_keyframe(
+        state.kfs, slot, track.pose, frame_id, timestamp,
+        obs_lm, kp.uv, obs_w, kp.desc,
+    )
+    return SlamState(track=track, kfs=kfs)
+
+
+def _ba_step(
+    state: SlamState,
+    cam: PinholeCamera,
+    window: int,
+    max_points: int,
+    iterations: int,
+) -> Tuple[SlamState, jax.Array]:
+    """Local BA over the newest window; propagate the correction of the
+    newest keyframe to the tracker's current pose and velocity frame."""
+    kfc = state.track.kf_counter
+    newest = jnp.maximum(kfc - 1, 0)
+    old_kf = SE3(state.kfs.R[newest], state.kfs.t[newest])
+
+    kfs, lms, stats = local_bundle_adjustment(
+        state.kfs, lms=state.track.lms, kf_counter=kfc, cam=cam,
+        window=window, max_points=max_points, iterations=iterations,
+    )
+    new_kf = SE3(kfs.R[newest], kfs.t[newest])
+
+    # cam_T_world composition: current = (current ∘ old_kf⁻¹) ∘ new_kf
+    rel = state.track.pose @ old_kf.inverse()
+    track = state.track._replace(
+        pose=rel @ new_kf,
+        last_kf_pose=new_kf,
+        lms=lms,
+    )
+    return SlamState(track=track, kfs=kfs), stats.rmse_after
+
+
+class SlamSystem:
+    """Host facade: feed frames, get poses (reference `SLAMSystem` API)."""
+
+    def __init__(
+        self,
+        cam: PinholeCamera,
+        fcfg: FeatureConfig = FeatureConfig(),
+        tcfg: TrackingConfig = TrackingConfig(),
+        ba_window: int = 8,
+        ba_max_points: int = 4096,
+        ba_iterations: int = 6,
+        ba_every_kf: int = 1,
+    ):
+        self.cam = cam
+        self.tcfg = tcfg
+        self.ba_every_kf = ba_every_kf
+        self.pose_buffer = PoseBuffer()
+
+        self._detect = jax.jit(
+            functools.partial(detect_and_describe, cfg=fcfg)
+        )
+        self._track = jax.jit(functools.partial(track_frame, cam=cam, tcfg=tcfg))
+        self._init = jax.jit(
+            functools.partial(initialize_from_frame, cam=cam, tcfg=tcfg)
+        )
+        self._insert = jax.jit(
+            functools.partial(_insert_kf_step, cam=cam, tcfg=tcfg)
+        )
+        self._ba = jax.jit(
+            functools.partial(
+                _ba_step, cam=cam, window=ba_window,
+                max_points=ba_max_points, iterations=ba_iterations,
+            )
+        )
+
+        self.state = SlamState(
+            track=create_track_state(tcfg.max_map_points),
+            kfs=create_keyframes(tcfg.max_keyframes, fcfg.max_num_keypoints),
+        )
+        self._frames: list[Tuple[int, float]] = []  # (frame_id, timestamp)
+
+    # ------------------------------------------------------------------
+    def feed_rgbd_frame(
+        self,
+        rgb: np.ndarray,  # [H, W, 3] uint8/float
+        depth: np.ndarray,  # [H, W] float32 meters
+        timestamp: float,
+        frame_id: Optional[int] = None,
+        pose_hint: Optional[SE3] = None,
+    ) -> FrameInfo:
+        """Track one RGB-D frame; returns (pose, tracked, ...) feedback."""
+        fid = len(self._frames) if frame_id is None else frame_id
+        self._frames.append((fid, timestamp))
+
+        gray = rgb_to_gray(jnp.asarray(rgb, jnp.float32))
+        kp = self._detect(gray)
+        depth_j = jnp.asarray(depth, jnp.float32)
+
+        if not bool(self.state.track.initialized):
+            pose0 = pose_hint if pose_hint is not None else SE3.identity()
+            track, lm_idx = self._init(self.state.track, kp, depth_j, pose=pose0)
+            state = SlamState(track=track, kfs=self.state.kfs)
+            # initialize_from_frame bumped the counter; record kf 0 in the db
+            obs_w = (kp.valid & (lm_idx >= 0)).astype(jnp.float32)
+            kfs = insert_keyframe(
+                state.kfs, jnp.int32(0), track.pose, jnp.int32(fid),
+                jnp.float32(timestamp), lm_idx, kp.uv, obs_w, kp.desc,
+            )
+            self.state = SlamState(track=track, kfs=kfs)
+            self.pose_buffer.register(timestamp, track.pose)
+            return FrameInfo(track.pose, True, 0, 0, True, 0.0)
+
+        state = self.state
+        track, res = self._track(state.track, kp)
+        state = SlamState(track=track, kfs=state.kfs)
+
+        inserted = False
+        ba_rmse = float("nan")
+        if bool(res.need_keyframe):
+            state = self._insert(
+                state, kp, depth_j, res.lm_idx,
+                jnp.int32(fid), jnp.float32(timestamp),
+            )
+            inserted = True
+            if int(state.track.kf_counter) % self.ba_every_kf == 0:
+                state, rmse = self._ba(state)
+                ba_rmse = float(rmse)
+
+        self.state = state
+        tracked = not bool(state.track.lost)
+        if tracked:
+            self.pose_buffer.register(timestamp, state.track.pose)
+        return FrameInfo(
+            pose=state.track.pose,
+            tracked=tracked,
+            num_inliers=int(res.num_inliers),
+            num_matches=int(res.num_matches),
+            inserted_keyframe=inserted,
+            ba_rmse=ba_rmse,
+        )
+
+    # ------------------------------------------------------------------
+    def query_pose(self, timestamp: float) -> Optional[SE3]:
+        """Interpolated cam_T_world for a mapper timestamp (the facade's
+        `query_camera_pose`, `/root/reference/disinfect_slam/disinfect_slam.cc`)."""
+        return self.pose_buffer.query(timestamp)
+
+    def trajectory(self) -> list[Tuple[int, np.ndarray]]:
+        """(frame_id, 3x4 cam_T_world) rows for every *keyframe*, composed
+        from the BA-refined keyframe poses — the reference's
+        `SaveMatchedTrajectory` semantics (later refinements propagate,
+        `/root/reference/modules/slam_module.cc:20-66`)."""
+        kfs = self.state.kfs
+        n = int(self.state.track.kf_counter)
+        out = []
+        for k in range(n):
+            m = np.concatenate(
+                [np.asarray(kfs.R[k]), np.asarray(kfs.t[k])[:, None]], axis=1
+            )
+            out.append((int(kfs.frame_id[k]), m))
+        return out

@@ -20,7 +20,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ra_slam_tpu.core.camera import PinholeCamera, nearest_sample
+from ra_slam_tpu.core.camera import PinholeCamera, bilinear_sample, nearest_sample
 from ra_slam_tpu.core.config import TrackingConfig
 from ra_slam_tpu.core.se3 import SE3, exp_se3, log_se3
 from ra_slam_tpu.features.matching import unpack_pm1
@@ -186,7 +186,14 @@ def insert_keyframe_landmarks(
     Returns (new state, per-feature landmark index [F] for the keyframe
     observation record: existing match or freshly inserted id or -1).
     """
-    d, dvalid = nearest_sample(depth, kp.uv)
+    # Edge-aware depth lookup: bilinear where the 2x2 neighborhood is
+    # depth-continuous (subpixel accuracy to match the subpixel corners),
+    # nearest at discontinuities (bilinear would smear foreground and
+    # background into a phantom point).
+    d_near, dvalid = nearest_sample(depth, kp.uv)
+    d_bil, bvalid = bilinear_sample(depth, kp.uv)
+    smooth = bvalid & (jnp.abs(d_bil - d_near) < 0.05 * jnp.maximum(d_near, 0.1))
+    d = jnp.where(smooth, d_bil, d_near)
     new_mask = (
         kp.valid
         & (lm_idx < 0)
