@@ -461,3 +461,13 @@ def gather_valid_semantic(m: VoxelMap, cfg: TsdfConfig):
     tsdf = np.asarray(m.tsdf[idx])[..., None]
     prob = np.asarray(m.prob[idx])[..., None]
     return np.concatenate([pos, tsdf, prob], axis=-1).reshape(-1, 5)
+
+
+def dump_semantic_tsdf(m: VoxelMap, cfg: TsdfConfig, path: str) -> int:
+    """Write all active voxels as packed (x, y, z, tsdf, prob) float32
+    rows — byte-identical to `TSDFSystem::DownloadAll`
+    (`/root/reference/modules/tsdf_module.cc:57-64`), the input of the
+    ScanNet eval harness. Returns the number of rows written."""
+    rows = gather_valid_semantic(m, cfg)
+    rows.astype("<f4").tofile(path)
+    return len(rows)
