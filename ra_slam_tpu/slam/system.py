@@ -31,6 +31,15 @@ from ra_slam_tpu.features.orb import Keypoints, detect_and_describe
 from ra_slam_tpu.features.pyramid import rgb_to_gray
 from ra_slam_tpu.slam.ba import local_bundle_adjustment
 from ra_slam_tpu.slam.keyframes import Keyframes, create_keyframes, insert_keyframe
+from ra_slam_tpu.slam.loop_closure import LoopCandidate, detect_loop
+from ra_slam_tpu.slam.pose_graph import (
+    PoseGraphEdges,
+    add_edge,
+    correct_landmarks,
+    create_edges,
+    odometry_edge,
+    optimize_pose_graph,
+)
 from ra_slam_tpu.slam.tracker import (
     TrackResult,
     TrackState,
@@ -58,6 +67,7 @@ class FrameInfo(NamedTuple):
     num_matches: int
     inserted_keyframe: bool
     ba_rmse: float
+    loop_closed: bool = False
 
 
 def _insert_kf_step(
@@ -112,6 +122,49 @@ def _ba_step(
     return SlamState(track=track, kfs=kfs), stats.rmse_after
 
 
+def _add_odometry_edge(
+    edges: PoseGraphEdges, slot: jax.Array, kfs: Keyframes, new_slot: jax.Array
+) -> PoseGraphEdges:
+    """Sequential constraint between the two newest keyframes."""
+    prev = jnp.maximum(new_slot - 1, 0)
+    z = odometry_edge(
+        SE3(kfs.R[prev], kfs.t[prev]), SE3(kfs.R[new_slot], kfs.t[new_slot])
+    )
+    return add_edge(edges, slot, prev, new_slot, z, weight=1.0)
+
+
+def _loop_close_step(
+    state: SlamState,
+    edges: PoseGraphEdges,
+    edge_slot: jax.Array,
+    loop: LoopCandidate,
+    query_slot: jax.Array,
+    pgo_iterations: int,
+):
+    """Add the verified loop edge, optimize the pose graph, propagate the
+    correction to landmarks and to the tracker's current pose."""
+    edges = add_edge(
+        edges, edge_slot, query_slot, jnp.maximum(loop.cand, 0),
+        loop.rel_pose, weight=2.0,
+    )
+    old_R, old_t = state.kfs.R, state.kfs.t
+    newest = jnp.maximum(state.track.kf_counter - 1, 0)
+    old_kf = SE3(old_R[newest], old_t[newest])
+
+    kfs, stats = optimize_pose_graph(
+        state.kfs, edges, state.track.kf_counter,
+        max_nodes=state.kfs.capacity, iterations=pgo_iterations,
+    )
+    lms = correct_landmarks(state.track.lms, old_R, old_t, kfs)
+
+    new_kf = SE3(kfs.R[newest], kfs.t[newest])
+    rel = state.track.pose @ old_kf.inverse()
+    track = state.track._replace(
+        pose=rel @ new_kf, last_kf_pose=new_kf, lms=lms
+    )
+    return SlamState(track=track, kfs=kfs), edges, stats.rmse_after
+
+
 class SlamSystem:
     """Host facade: feed frames, get poses (reference `SLAMSystem` API)."""
 
@@ -124,10 +177,16 @@ class SlamSystem:
         ba_max_points: int = 4096,
         ba_iterations: int = 6,
         ba_every_kf: int = 1,
+        loop_every_kf: int = 5,
+        loop_min_gap: int = 30,
+        loop_min_score: float = 0.05,
+        loop_min_inliers: int = 25,
+        pgo_iterations: int = 8,
     ):
         self.cam = cam
         self.tcfg = tcfg
         self.ba_every_kf = ba_every_kf
+        self.loop_every_kf = loop_every_kf
         self.pose_buffer = PoseBuffer()
 
         self._detect = jax.jit(
@@ -147,10 +206,28 @@ class SlamSystem:
             )
         )
 
+        self._loop_detect = jax.jit(
+            functools.partial(
+                detect_loop,
+                cam=cam,
+                tcfg=tcfg,
+                min_gap=loop_min_gap,
+                min_score=loop_min_score,
+                min_inliers=loop_min_inliers,
+            )
+        )
+        self._loop_close = jax.jit(
+            functools.partial(_loop_close_step, pgo_iterations=pgo_iterations)
+        )
+        self._add_odo_edge = jax.jit(_add_odometry_edge)
+
         self.state = SlamState(
             track=create_track_state(tcfg.max_map_points),
             kfs=create_keyframes(tcfg.max_keyframes, fcfg.max_num_keypoints),
         )
+        self.edges = create_edges(2 * tcfg.max_keyframes)
+        self._n_edges = 0
+        self.num_loop_closures = 0
         self._frames: list[Tuple[int, float]] = []  # (frame_id, timestamp)
 
     # ------------------------------------------------------------------
@@ -189,6 +266,7 @@ class SlamSystem:
         state = SlamState(track=track, kfs=state.kfs)
 
         inserted = False
+        loop_closed = False
         ba_rmse = float("nan")
         if bool(res.need_keyframe):
             state = self._insert(
@@ -196,9 +274,31 @@ class SlamSystem:
                 jnp.int32(fid), jnp.float32(timestamp),
             )
             inserted = True
-            if int(state.track.kf_counter) % self.ba_every_kf == 0:
+            kfc = int(state.track.kf_counter)
+            if kfc >= 2 and self._n_edges < self.edges.capacity:
+                self.edges = self._add_odo_edge(
+                    self.edges, jnp.int32(self._n_edges), state.kfs,
+                    jnp.int32(kfc - 1),
+                )
+                self._n_edges += 1
+            if kfc % self.ba_every_kf == 0:
                 state, rmse = self._ba(state)
                 ba_rmse = float(rmse)
+            if (
+                kfc % self.loop_every_kf == 0
+                and self._n_edges + 1 < self.edges.capacity
+            ):
+                newest = jnp.int32(kfc - 1)
+                loop = self._loop_detect(
+                    state.kfs, state.track.lms, newest, state.track.kf_counter
+                )
+                if bool(loop.accepted):
+                    state, self.edges, _ = self._loop_close(
+                        state, self.edges, jnp.int32(self._n_edges), loop, newest
+                    )
+                    self._n_edges += 1
+                    self.num_loop_closures += 1
+                    loop_closed = True
 
         self.state = state
         tracked = not bool(state.track.lost)
@@ -211,6 +311,7 @@ class SlamSystem:
             num_matches=int(res.num_matches),
             inserted_keyframe=inserted,
             ba_rmse=ba_rmse,
+            loop_closed=loop_closed,
         )
 
     # ------------------------------------------------------------------
