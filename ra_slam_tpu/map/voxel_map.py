@@ -463,6 +463,19 @@ def gather_valid_semantic(m: VoxelMap, cfg: TsdfConfig):
     return np.concatenate([pos, tsdf, prob], axis=-1).reshape(-1, 5)
 
 
+def query_tsdf(m: VoxelMap, cfg: TsdfConfig, lo, hi):
+    """Voxels inside the world-space AABB [lo, hi] as (x, y, z, tsdf)
+    rows — the planner query `TSDFSystem::Query`/`GatherVoxels`
+    (`/root/reference/modules/tsdf_module.cc:38-43`). Host-side."""
+    import numpy as np
+
+    rows = gather_valid(m, cfg)
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    keep = np.all((rows[:, :3] >= lo) & (rows[:, :3] <= hi), axis=-1)
+    return rows[keep]
+
+
 def dump_semantic_tsdf(m: VoxelMap, cfg: TsdfConfig, path: str) -> int:
     """Write all active voxels as packed (x, y, z, tsdf, prob) float32
     rows — byte-identical to `TSDFSystem::DownloadAll`
