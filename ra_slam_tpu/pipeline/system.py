@@ -92,7 +92,10 @@ class RaSlamSystem:
                 cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
                 cfg.camera.width, cfg.camera.height,
             )
-            self.slam = SlamSystem(track_cam, fcfg=cfg.feature, tcfg=cfg.tracking)
+            self.slam = SlamSystem(
+                track_cam, fcfg=cfg.feature, tcfg=cfg.tracking,
+                focal_x_baseline=cfg.camera.focal_x_baseline,
+            )
 
         self.last_stats: dict = {}
         self.num_integrated = 0
@@ -111,6 +114,20 @@ class RaSlamSystem:
         assert self.slam is not None, "tracking disabled"
         return self.slam.feed_rgbd_frame(
             rgb, depth, timestamp, pose_hint=pose_hint
+        )
+
+    def feed_stereo_frame(
+        self,
+        left: np.ndarray,
+        right: np.ndarray,
+        timestamp: float,
+        pose_hint: Optional[SE3] = None,
+    ):
+        """Rectified stereo tracking-camera path (the reference's
+        `feed_stereo_frame`, `disinfect_slam.cc:45-51`)."""
+        assert self.slam is not None, "tracking disabled"
+        return self.slam.feed_stereo_frame(
+            left, right, timestamp, pose_hint=pose_hint
         )
 
     # -- depth camera path ----------------------------------------------------

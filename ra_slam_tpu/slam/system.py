@@ -29,6 +29,7 @@ from ra_slam_tpu.core.config import FeatureConfig, TrackingConfig
 from ra_slam_tpu.core.se3 import SE3
 from ra_slam_tpu.features.orb import Keypoints, detect_and_describe
 from ra_slam_tpu.features.pyramid import rgb_to_gray
+from ra_slam_tpu.features.stereo import sparse_depth_image, stereo_keypoint_depth
 from ra_slam_tpu.slam.ba import local_bundle_adjustment
 from ra_slam_tpu.slam.keyframes import Keyframes, create_keyframes, insert_keyframe
 from ra_slam_tpu.slam.loop_closure import LoopCandidate, detect_loop
@@ -182,9 +183,12 @@ class SlamSystem:
         loop_min_score: float = 0.05,
         loop_min_inliers: int = 25,
         pgo_iterations: int = 8,
+        focal_x_baseline: float = 0.0,  # fx*b for stereo frames
+        max_disparity: int = 64,
     ):
         self.cam = cam
         self.tcfg = tcfg
+        self.focal_x_baseline = focal_x_baseline
         self.ba_every_kf = ba_every_kf
         self.loop_every_kf = loop_every_kf
         self.pose_buffer = PoseBuffer()
@@ -220,6 +224,17 @@ class SlamSystem:
             functools.partial(_loop_close_step, pgo_iterations=pgo_iterations)
         )
         self._add_odo_edge = jax.jit(_add_odometry_edge)
+        if focal_x_baseline > 0:
+            def _stereo(gray_l, gray_r, uv, valid):
+                d, ok = stereo_keypoint_depth(
+                    gray_l, gray_r, uv, valid,
+                    focal_x_baseline=focal_x_baseline,
+                    max_disparity=max_disparity,
+                    min_depth=tcfg.min_depth, max_depth=tcfg.max_depth,
+                )
+                return sparse_depth_image(uv, d, ok, cam.height, cam.width)
+
+            self._stereo_depth = jax.jit(_stereo)
 
         self.state = SlamState(
             track=create_track_state(tcfg.max_map_points),
@@ -239,13 +254,46 @@ class SlamSystem:
         frame_id: Optional[int] = None,
         pose_hint: Optional[SE3] = None,
     ) -> FrameInfo:
-        """Track one RGB-D frame; returns (pose, tracked, ...) feedback."""
-        fid = len(self._frames) if frame_id is None else frame_id
-        self._frames.append((fid, timestamp))
-
+        """Track one RGB-D frame; returns (pose, tracked, ...) feedback
+        (reference `feed_RGBD_images_w_feedback`)."""
         gray = rgb_to_gray(jnp.asarray(rgb, jnp.float32))
         kp = self._detect(gray)
         depth_j = jnp.asarray(depth, jnp.float32)
+        return self._feed(kp, depth_j, timestamp, frame_id, pose_hint)
+
+    def feed_stereo_frame(
+        self,
+        left: np.ndarray,  # [H, W, 3] or [H, W] rectified left
+        right: np.ndarray,  # rectified right
+        timestamp: float,
+        frame_id: Optional[int] = None,
+        pose_hint: Optional[SE3] = None,
+    ) -> FrameInfo:
+        """Track one rectified stereo pair: per-keypoint epipolar ZNCC
+        depth feeds the same landmark path as RGB-D (reference
+        `feed_stereo_images_w_feedback`,
+        `/root/reference/modules/slam_module.cc:143-163`)."""
+        assert self.focal_x_baseline > 0, (
+            "stereo tracking needs focal_x_baseline (see StereoRectifier)"
+        )
+        l = jnp.asarray(left, jnp.float32)
+        r = jnp.asarray(right, jnp.float32)
+        gray_l = rgb_to_gray(l) if l.ndim == 3 else l
+        gray_r = rgb_to_gray(r) if r.ndim == 3 else r
+        kp = self._detect(gray_l)
+        depth_img = self._stereo_depth(gray_l, gray_r, kp.uv, kp.valid)
+        return self._feed(kp, depth_img, timestamp, frame_id, pose_hint)
+
+    def _feed(
+        self,
+        kp: Keypoints,
+        depth_j: jax.Array,
+        timestamp: float,
+        frame_id: Optional[int],
+        pose_hint: Optional[SE3],
+    ) -> FrameInfo:
+        fid = len(self._frames) if frame_id is None else frame_id
+        self._frames.append((fid, timestamp))
 
         if not bool(self.state.track.initialized):
             pose0 = pose_hint if pose_hint is not None else SE3.identity()

@@ -1,0 +1,149 @@
+"""Stereo depth, rectification, and stereo tracking tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ra_slam_tpu.core.rectify import CalibMono, CalibStereo, StereoRectifier
+from ra_slam_tpu.features.stereo import sparse_depth_image, stereo_keypoint_depth
+from ra_slam_tpu.io.synthetic import (
+    SyntheticCameraSpec,
+    look_at,
+    render_box_room,
+)
+
+SPEC = SyntheticCameraSpec(
+    fx=120.0, fy=120.0, cx=119.5, cy=89.5, width=240, height=180
+)
+BASELINE = 0.12  # meters
+FXB = SPEC.fx * BASELINE
+HE = np.array([2.0, 1.5, 2.0])
+
+
+def _stereo_pair(eye=(0.3, 0.0, 0.0)):
+    """Render a rectified synthetic stereo pair: the right camera is the
+    left translated by +baseline along camera x."""
+    w_T_c_l = look_at(np.array(eye), np.array([0.0, 0.0, 1.5]))
+    w_T_c_r = w_T_c_l.copy()
+    w_T_c_r[:3, 3] += w_T_c_l[:3, 0] * BASELINE  # shift along cam x-axis
+    rgb_l, depth_l, _, _ = render_box_room(SPEC, w_T_c_l, HE)
+    rgb_r, _, _, _ = render_box_room(SPEC, w_T_c_r, HE)
+    return rgb_l, rgb_r, depth_l, w_T_c_l
+
+
+def _gray(rgb):
+    return jnp.asarray(rgb, jnp.float32).mean(-1)
+
+
+def test_stereo_keypoint_depth_recovers_gt():
+    rgb_l, rgb_r, depth_l, _ = _stereo_pair()
+    gl, gr = _gray(rgb_l), _gray(rgb_r)
+
+    # probe a grid of interior pixels with valid GT depth
+    us, vs = np.meshgrid(np.arange(40, 200, 10), np.arange(30, 150, 10))
+    uv = jnp.asarray(
+        np.stack([us.ravel(), vs.ravel()], -1).astype(np.float32)
+    )
+    valid = jnp.ones((uv.shape[0],), bool)
+    d, ok = stereo_keypoint_depth(
+        gl, gr, uv, valid, focal_x_baseline=FXB, max_disparity=48
+    )
+    ok_np = np.asarray(ok)
+    # most grid probes land on textureless cell interiors and are
+    # correctly rejected by the aperture gate; enough survive on edges
+    assert ok_np.sum() > 20, f"only {ok_np.sum()} valid stereo matches"
+    gt = depth_l[np.asarray(uv[:, 1], int), np.asarray(uv[:, 0], int)]
+    rel = np.abs(np.asarray(d) - gt)[ok_np] / gt[ok_np]
+    # GT disparity here is only ~6-8 px, so +-0.3 px subpixel noise is
+    # ~5% depth error; repetitive cell texture yields a few gross
+    # outliers (classic stereo failure, removed downstream by the
+    # tracker's robust GN)
+    assert np.median(rel) < 0.08, f"median rel depth error {np.median(rel)}"
+    assert (rel < 0.15).mean() > 0.8, f"inlier fraction {(rel < 0.15).mean()}"
+
+
+def test_sparse_depth_image_scatter():
+    uv = jnp.asarray([[3.2, 4.8], [10.0, 2.0], [100.0, 100.0]], jnp.float32)
+    d = jnp.asarray([1.5, 2.5, 9.0])
+    ok = jnp.asarray([True, True, False])
+    img = sparse_depth_image(uv, d, ok, 20, 20)
+    assert float(img[5, 3]) == 1.5
+    assert float(img[2, 10]) == 2.5
+    assert float(img.sum()) == 4.0  # invalid dropped, out-of-range clipped->dropped
+
+
+def test_rectifier_identity_geometry():
+    """Near-identical pinhole pair with a pure x baseline: rectification
+    should be near-identity and focal_x_baseline ~ fx*b."""
+    calib = CalibStereo(
+        left=CalibMono(120.0, 120.0, 119.5, 89.5, [0.0, 0.0, 0.0, 0.0, 0.0]),
+        right=CalibMono(120.0, 120.0, 119.5, 89.5, [0.0, 0.0, 0.0, 0.0, 0.0]),
+        rotation=[0.0, 0.0, 0.0],
+        translation=[-BASELINE, 0.0, 0.0],  # right_t_left
+    )
+    rect = StereoRectifier((240, 180), calib)
+    assert abs(rect.focal_x_baseline - FXB) / FXB < 0.05
+
+    cam = rect.rectified_camera()
+    assert cam.width == 240 and cam.height == 180
+    assert abs(float(cam.fx) - 120.0) / 120.0 < 0.05
+
+    rgb_l, rgb_r, _, _ = _stereo_pair()
+    out_l, out_r = rect.rectify(rgb_l, rgb_r)
+    assert out_l.shape == rgb_l.shape and out_r.shape == rgb_r.shape
+    # identity-ish rectification: interior should match the input closely
+    diff = np.abs(
+        out_l[40:140, 40:200].astype(float) - rgb_l[40:140, 40:200].astype(float)
+    )
+    assert diff.mean() < 10.0
+
+
+def test_rectifier_from_yaml(tmp_path):
+    import yaml
+
+    node = {
+        "Camera.cols": 240, "Camera.rows": 180,
+        "Calibration.left.fx": 120.0, "Calibration.left.fy": 120.0,
+        "Calibration.left.cx": 119.5, "Calibration.left.cy": 89.5,
+        "Calibration.left.distortion": [0.0, 0.0, 0.0, 0.0, 0.0],
+        "Calibration.right.fx": 120.0, "Calibration.right.fy": 120.0,
+        "Calibration.right.cx": 119.5, "Calibration.right.cy": 89.5,
+        "Calibration.right.distortion": [0.0, 0.0, 0.0, 0.0, 0.0],
+        "Calibration.rotation": [0.0, 0.0, 0.0],
+        "Calibration.translation": [-BASELINE, 0.0, 0.0],
+    }
+    p = tmp_path / "calib.yaml"
+    p.write_text(yaml.safe_dump(node))
+    rect = StereoRectifier.from_yaml(str(p))
+    assert abs(rect.focal_x_baseline - FXB) / FXB < 0.05
+
+
+def test_stereo_tracking():
+    """Feed synthetic rectified stereo pairs; poses must track the orbit."""
+    from ra_slam_tpu.core.config import FeatureConfig, TrackingConfig
+    from ra_slam_tpu.core.se3 import SE3, log_se3
+    from ra_slam_tpu.slam.system import SlamSystem
+    from ra_slam_tpu.core.camera import PinholeCamera
+
+    cam = PinholeCamera.create(
+        SPEC.fx, SPEC.fy, SPEC.cx, SPEC.cy, SPEC.width, SPEC.height
+    )
+    sys_ = SlamSystem(
+        cam,
+        fcfg=FeatureConfig(max_num_keypoints=400, num_levels=3),
+        tcfg=TrackingConfig(min_inliers=12, match_radius=30.0),
+        ba_window=4, ba_max_points=1024, ba_iterations=3,
+        focal_x_baseline=FXB, max_disparity=48,
+    )
+    errs = []
+    for i in range(6):
+        eye = (0.3 - 0.03 * i, 0.02 * i, 0.05 * i)
+        rgb_l, rgb_r, _, w_T_c = _stereo_pair(eye)
+        gt = SE3.from_matrix(jnp.asarray(np.linalg.inv(w_T_c), jnp.float32))
+        info = sys_.feed_stereo_frame(
+            rgb_l, rgb_r, timestamp=float(i),
+            pose_hint=gt if i == 0 else None,
+        )
+        assert info.tracked, f"stereo tracking lost at frame {i}"
+        xi = log_se3(info.pose @ gt.inverse())
+        errs.append(float(jnp.linalg.norm(xi[3:])))
+    assert max(errs) < 0.1, f"stereo translation errors {errs}"
