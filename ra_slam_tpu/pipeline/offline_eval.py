@@ -49,11 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump a raycast PNG every N frames into --download")
     p.add_argument("--trajectory-out", default=None,
                    help="save the (SLAM) trajectory in id + 3x4 format")
+    p.add_argument("--native-io", action="store_true",
+                   help="use the C++ .sens decoder + threaded prefetcher")
     return p
 
 
 def load_dataset(args):
     if args.sens:
+        if getattr(args, "native_io", False):
+            from ra_slam_tpu.native import NativeSensReader
+
+            return NativeSensReader(args.sens)
         from ra_slam_tpu.io import SensReader
 
         return SensReader(args.sens)
@@ -108,10 +114,17 @@ def main(argv=None) -> dict:
         cfg, segmentation_model=args.model, enable_tracking=args.use_slam
     )
 
+    if args.sens and args.native_io:
+        # C++ prefetcher: decode overlaps device compute
+        import itertools
+
+        frames_iter = itertools.islice(ds.prefetch(num_threads=2, capacity=8), n)
+    else:
+        frames_iter = (ds.frame(i) for i in range(n))
+
     t_seg = t_int = t_track = 0.0
     t0 = time.perf_counter()
-    for i in range(n):
-        fr = ds.frame(i)
+    for i, fr in enumerate(frames_iter):
         pose = None
         if args.use_slam:
             ts = time.perf_counter()
