@@ -123,6 +123,20 @@ def orb_descriptors(
     )  # [K, 8]
 
 
+def level_quotas(cfg: FeatureConfig) -> list:
+    """Per-level keypoint quotas: geometric (1/s)^l weighting, min 16."""
+    inv = [1.0 / (cfg.scale_factor**l) for l in range(cfg.num_levels)]
+    total = sum(inv)
+    return [max(int(round(cfg.max_num_keypoints * w / total)), 16) for w in inv]
+
+
+def keypoint_capacity(cfg: FeatureConfig) -> int:
+    """Actual fixed Keypoints capacity (sum of level quotas — rounding
+    can differ slightly from cfg.max_num_keypoints; any consumer sizing
+    per-feature arrays must use THIS)."""
+    return sum(level_quotas(cfg))
+
+
 def detect_and_describe(
     gray: jax.Array,
     cfg: FeatureConfig,
@@ -133,11 +147,7 @@ def detect_and_describe(
     level weighting OpenVSLAM uses (more keypoints at finer levels).
     """
     levels = build_pyramid(gray, cfg.num_levels, cfg.scale_factor)
-
-    # per-level quota ~ (1/s)^l normalized, min 16
-    inv = [1.0 / (cfg.scale_factor**l) for l in range(cfg.num_levels)]
-    total = sum(inv)
-    quotas = [max(int(round(cfg.max_num_keypoints * w / total)), 16) for w in inv]
+    quotas = level_quotas(cfg)
 
     all_parts = []
     for lvl, (img, quota) in enumerate(zip(levels, quotas)):

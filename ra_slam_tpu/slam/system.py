@@ -236,9 +236,11 @@ class SlamSystem:
 
             self._stereo_depth = jax.jit(_stereo)
 
+        from ra_slam_tpu.features.orb import keypoint_capacity
+
         self.state = SlamState(
             track=create_track_state(tcfg.max_map_points),
-            kfs=create_keyframes(tcfg.max_keyframes, fcfg.max_num_keypoints),
+            kfs=create_keyframes(tcfg.max_keyframes, keypoint_capacity(fcfg)),
         )
         self.edges = create_edges(2 * tcfg.max_keyframes)
         self._n_edges = 0

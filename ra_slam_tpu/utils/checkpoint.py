@@ -1,0 +1,102 @@
+"""Checkpoint / resume.
+
+The reference has no unified checkpointing (SURVEY.md §5.4): it saves
+the OpenVSLAM map database (`save_map_database`), trajectories, and
+binary reconstruction dumps, and "resumes" by re-fusing logged folders.
+Here every subsystem state is a pytree with static shapes, so one
+generic npz round-trip covers the whole system: the voxel map, the
+sparse SLAM state (tracker + keyframes + landmarks), and the pose-graph
+edges — true stop/resume, not just export.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Save any pytree of arrays/scalars as an npz (keys = leaf order)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    np.savez_compressed(
+        path, **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    )
+
+
+def load_pytree(path: str, template: Any) -> Any:
+    """Load an npz produced by `save_pytree` into `template`'s structure.
+
+    Shapes/dtypes must match the template (same configs on both sides).
+    """
+    data = np.load(path)
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    leaves = []
+    for i, t in enumerate(t_leaves):
+        arr = data[f"leaf_{i}"]
+        t_arr = np.asarray(t)
+        if arr.shape != t_arr.shape:
+            raise ValueError(
+                f"leaf {i}: checkpoint shape {arr.shape} != template "
+                f"{t_arr.shape} (different config?)"
+            )
+        leaves.append(jnp.asarray(arr.astype(t_arr.dtype)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_system(ckpt_dir: str, system) -> None:
+    """Checkpoint a `RaSlamSystem`: voxel map + SLAM state + pose graph
+    + host counters."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_pytree(os.path.join(ckpt_dir, "map.npz"), system.map)
+    meta = {"num_integrated": system.num_integrated}
+    if system.slam is not None:
+        save_pytree(os.path.join(ckpt_dir, "slam.npz"), system.slam.state)
+        save_pytree(os.path.join(ckpt_dir, "edges.npz"), system.slam.edges)
+        meta["n_edges"] = system.slam._n_edges
+        meta["num_loop_closures"] = system.slam.num_loop_closures
+        meta["frames"] = system.slam._frames
+        # pose buffer entries (timestamp -> pose)
+        buf = system.slam.pose_buffer
+        meta["pose_buffer"] = [
+            (t, np.asarray(p.R).tolist(), np.asarray(p.t).tolist())
+            for t, p in buf.entries()
+        ]
+    np.savez_compressed(
+        os.path.join(ckpt_dir, "meta.npz"),
+        meta=np.array([repr(meta)], dtype=object),
+    )
+
+
+def load_system(ckpt_dir: str, system) -> None:
+    """Restore a checkpoint into a freshly-constructed `RaSlamSystem`
+    (same configs). Mutates `system` in place."""
+    from ast import literal_eval
+
+    from ra_slam_tpu.core.se3 import SE3
+
+    system.map = load_pytree(os.path.join(ckpt_dir, "map.npz"), system.map)
+    meta = literal_eval(
+        str(np.load(os.path.join(ckpt_dir, "meta.npz"),
+                    allow_pickle=True)["meta"][0])
+    )
+    system.num_integrated = meta["num_integrated"]
+    if system.slam is not None and os.path.exists(
+        os.path.join(ckpt_dir, "slam.npz")
+    ):
+        system.slam.state = load_pytree(
+            os.path.join(ckpt_dir, "slam.npz"), system.slam.state
+        )
+        system.slam.edges = load_pytree(
+            os.path.join(ckpt_dir, "edges.npz"), system.slam.edges
+        )
+        system.slam._n_edges = meta["n_edges"]
+        system.slam.num_loop_closures = meta["num_loop_closures"]
+        system.slam._frames = [tuple(f) for f in meta["frames"]]
+        for t, R, tr in meta.get("pose_buffer", []):
+            system.slam.pose_buffer.register(
+                t, SE3(jnp.asarray(R, jnp.float32), jnp.asarray(tr, jnp.float32))
+            )

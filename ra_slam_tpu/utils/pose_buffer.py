@@ -84,3 +84,14 @@ class PoseBuffer:
                 return None
             q, t = self._quat[-1], self._trans[-1]
         return SE3(np.asarray(quat_to_mat(q), np.float32), t.astype(np.float32))
+
+    def entries(self):
+        """Snapshot of (timestamp, SE3) pairs (for checkpointing)."""
+        with self._lock:
+            ts = list(self._ts)
+            qs = [np.array(q) for q in self._quat]
+            trs = [np.array(t) for t in self._trans]
+        return [
+            (t, SE3(np.asarray(quat_to_mat(q), np.float32), tr.astype(np.float32)))
+            for t, q, tr in zip(ts, qs, trs)
+        ]
