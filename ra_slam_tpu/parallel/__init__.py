@@ -1,3 +1,7 @@
+from ra_slam_tpu.parallel.dist_ba import (
+    distributed_bundle_adjustment,
+    solve_window_distributed,
+)
 from ra_slam_tpu.parallel.sharded_map import (
     create_sharded_map,
     local_config,
@@ -7,7 +11,9 @@ from ra_slam_tpu.parallel.sharded_map import (
 
 __all__ = [
     "create_sharded_map",
+    "distributed_bundle_adjustment",
     "local_config",
     "make_sharded_integrate_step",
     "map_partition_specs",
+    "solve_window_distributed",
 ]

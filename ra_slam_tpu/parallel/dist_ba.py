@@ -1,0 +1,211 @@
+"""Distributed Schur-complement bundle adjustment over a device mesh.
+
+The greenfield multi-device component promised in SURVEY.md §2.9: the
+reference's g2o BA is a shared-memory CPU solver; here the landmark
+side of the normal equations is sharded across devices and the reduced
+camera system rides ICI collectives:
+
+  - landmarks (and their 3x3 block elimination, the [L, W, 6, 3]
+    coupling tensor U — the dominant memory/compute term) are sharded
+    over the `ba` mesh axis; every device eliminates only its landmark
+    shard,
+  - each observation is owned by exactly one shard (its landmark's),
+    so per-pose Hessian blocks and the Schur complement add up exactly:
+    `S = psum(S_shard)`, `rhs = psum(rhs_shard)`,
+  - the reduced [6W, 6W] solve is tiny and replicated; landmark
+    back-substitution is local to each shard.
+
+Per-observation residual/Jacobian work is replicated (N is small next
+to L·W·18); the elimination and coupling-block memory scale 1/n_devices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ra_slam_tpu.core.camera import PinholeCamera
+from ra_slam_tpu.core.se3 import SE3, exp_se3
+from ra_slam_tpu.slam.ba import (
+    BAStats,
+    BAWindow,
+    _residuals,
+    _robust_weight,
+    _weighted_rmse,
+    gather_window,
+    scatter_window,
+    _FIX_PRIOR,
+)
+from ra_slam_tpu.slam.keyframes import Keyframes
+from ra_slam_tpu.slam.landmarks import Landmarks
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _solve_shard(
+    poses: SE3,
+    points_l: jax.Array,  # [Lloc, 3] local landmark shard
+    point_ok_l: jax.Array,  # [Lloc]
+    win: BAWindow,  # obs arrays replicated; points field unused here
+    cam: PinholeCamera,
+    axis: str,
+    iterations: int,
+    huber_delta: float,
+    damping: float,
+):
+    """shard_map body: iterate GN with psum-reduced camera system."""
+    W = win.kf_free.shape[0]
+    Lloc = points_l.shape[0]
+    shard = jax.lax.axis_index(axis)
+    lo = shard * Lloc
+
+    # observation ownership: the shard holding the observed landmark
+    own = (win.obs_l >= lo) & (win.obs_l < lo + Lloc)
+    obs_l_loc = jnp.clip(win.obs_l - lo, 0, Lloc - 1)
+
+    def iteration(_, carry):
+        poses, points = carry
+        # residuals against the LOCAL point shard (win.obs_uv etc. are
+        # replicated; point lookups use local indices, non-owned rows
+        # are masked out by w)
+        win_loc = win._replace(obs_l=obs_l_loc)
+        r, J_p, J_x, ok = _residuals(poses, points, win_loc, cam)
+        r2 = jnp.sum(r * r, -1)
+        w = win.obs_w * own * ok * _robust_weight(r2, huber_delta)
+
+        free_n = win.kf_free[win.obs_k]
+        J_p_f = J_p * free_n[:, None, None]
+        Jw_p = J_p_f * w[:, None, None]
+        Jw_x = J_x * w[:, None, None]
+
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", Jw_p, J_p_f, precision=_HIGH),
+            win.obs_k, num_segments=W)
+        gp = jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", Jw_p, r, precision=_HIGH),
+            win.obs_k, num_segments=W)
+        Hll = jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", Jw_x, J_x, precision=_HIGH),
+            obs_l_loc, num_segments=Lloc)
+        gl = jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", Jw_x, r, precision=_HIGH),
+            obs_l_loc, num_segments=Lloc)
+
+        A = jnp.einsum("nri,nrj->nij", Jw_p, J_x, precision=_HIGH)
+        U = jnp.zeros((Lloc, W, 6, 3), A.dtype).at[obs_l_loc, win.obs_k].add(A)
+
+        eye3 = jnp.eye(3, dtype=Hll.dtype)
+        Hll_d = Hll + (damping + 1e-8) * eye3 + damping * Hll * eye3
+        occupied = point_ok_l & (jnp.einsum("lii->l", Hll) > 1e-12)
+        Hinv = jnp.linalg.inv(jnp.where(occupied[:, None, None], Hll_d, eye3))
+        Hinv = jnp.where(occupied[:, None, None], Hinv, 0.0)
+
+        # shard-partial reduced system -> exact sum over shards (each
+        # observation/landmark contributes on exactly one shard)
+        S_off = jnp.einsum("lkab,lbc,ljdc->kajd", U, Hinv, U, precision=_HIGH)
+        S_part = -S_off
+        diag = jnp.arange(W)
+        S_part = S_part.at[diag, :, diag, :].add(Hpp)
+        rhs_part = gp - jnp.einsum(
+            "lkab,lbc,lc->ka", U, Hinv, gl, precision=_HIGH
+        )
+        S = jax.lax.psum(S_part, axis)  # <- ICI collective
+        rhs = jax.lax.psum(rhs_part, axis)
+
+        prior = jnp.where(win.kf_free, damping, _FIX_PRIOR)
+        S = S.at[diag, :, diag, :].add(
+            prior[:, None, None] * jnp.eye(6, dtype=S.dtype)
+        )
+
+        dxi = -jnp.linalg.solve(
+            S.reshape(W * 6, W * 6), rhs.reshape(W * 6)
+        ).reshape(W, 6)
+        dxi = jnp.where(jnp.all(jnp.isfinite(dxi)), dxi, jnp.zeros_like(dxi))
+        dxi = dxi * win.kf_free[:, None]
+
+        Ud = jnp.einsum("lkab,ka->lb", U, dxi, precision=_HIGH)
+        dx = -jnp.einsum("lab,lb->la", Hinv, gl + Ud, precision=_HIGH)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dx = dx * occupied[:, None]
+
+        return exp_se3(dxi) @ poses, points + dx
+
+    poses_out, points_out = jax.lax.fori_loop(
+        0, iterations, iteration, (poses, points_l), unroll=True
+    )
+
+    # distributed weighted rmse (before handled by caller on entry state)
+    win_loc = win._replace(obs_l=obs_l_loc)
+    r1, _, _, ok1 = _residuals(poses_out, points_out, win_loc, cam)
+    w1 = win.obs_w * own * ok1
+    sum_r2 = jax.lax.psum(jnp.sum(jnp.where(w1 > 0, jnp.sum(r1 * r1, -1), 0.0)), axis)
+    n1 = jax.lax.psum(jnp.sum((w1 > 0).astype(jnp.float32)), axis)
+    rmse = jnp.sqrt(sum_r2 / jnp.maximum(n1, 1.0))
+    return poses_out, points_out, rmse
+
+
+def solve_window_distributed(
+    win: BAWindow,
+    cam: PinholeCamera,
+    mesh: Mesh,
+    axis: str = "ba",
+    iterations: int = 8,
+    huber_delta: float = 3.0,
+    damping: float = 1e-4,
+) -> Tuple[SE3, jax.Array, BAStats]:
+    """Distributed solve of a gathered window; L must divide the mesh."""
+    L = win.points.shape[0]
+    n = mesh.shape[axis]
+    assert L % n == 0, f"max_points {L} must be divisible by mesh size {n}"
+
+    r0, _, _, ok0 = _residuals(win.poses, win.points, win, cam)
+    rmse0 = _weighted_rmse(r0, win.obs_w * ok0)
+
+    body = functools.partial(
+        _solve_shard, cam=cam, axis=axis, iterations=iterations,
+        huber_delta=huber_delta, damping=damping,
+    )
+    # poses replicated; landmark slots + ok sharded on L; win replicated
+    poses, points, rmse1 = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(axis), P()),
+        check_vma=False,
+    )(win.poses, win.points, win.point_ok, win)
+    # poses are identical on every shard (replicated math); keep as-is
+
+    stats = BAStats(
+        num_poses=jnp.sum(win.kf_free.astype(jnp.int32)),
+        num_points=jnp.sum(win.point_ok.astype(jnp.int32)),
+        num_obs=jnp.sum((win.obs_w > 0).astype(jnp.int32)),
+        rmse_before=rmse0,
+        rmse_after=rmse1,
+    )
+    return poses, points, stats
+
+
+def distributed_bundle_adjustment(
+    kfs: Keyframes,
+    lms: Landmarks,
+    kf_counter: jax.Array,
+    cam: PinholeCamera,
+    mesh: Mesh,
+    axis: str = "ba",
+    window: int = 8,
+    max_points: int = 4096,
+    iterations: int = 8,
+    huber_delta: float = 3.0,
+) -> Tuple[Keyframes, Landmarks, BAStats]:
+    """gather -> distributed Schur solve -> scatter (jit-able)."""
+    win = gather_window(kfs, lms, kf_counter, window, max_points)
+    poses, points, stats = solve_window_distributed(
+        win, cam, mesh, axis=axis, iterations=iterations,
+        huber_delta=huber_delta,
+    )
+    kfs, lms = scatter_window(kfs, lms, win, poses, points)
+    return kfs, lms, stats

@@ -1,0 +1,63 @@
+"""Distributed Schur-complement BA on the virtual 8-device CPU mesh:
+must converge like the single-device solver and agree with it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ra_slam_tpu.core.se3 import SE3, log_se3
+from ra_slam_tpu.parallel.dist_ba import distributed_bundle_adjustment
+from ra_slam_tpu.slam.ba import local_bundle_adjustment
+
+from test_ba import _make_problem, _perturb
+
+
+def _mesh(n=8):
+    devs = jax.devices()[:n]
+    return Mesh(np.array(devs), ("ba",))
+
+
+def test_distributed_ba_matches_single_device():
+    cam, kfs, lms, poses_gt, pts_gt, num_kf, num_pts = _make_problem()
+    kfs_p, lms_p = _perturb(kfs, lms, num_kf, num_pts)
+
+    kfc = jnp.int32(num_kf)
+    kfs_s, lms_s, stats_s = jax.jit(
+        lambda k, l: local_bundle_adjustment(
+            k, l, kfc, cam, window=8, max_points=256, iterations=8
+        )
+    )(kfs_p, lms_p)
+
+    mesh = _mesh()
+    kfs_d, lms_d, stats_d = jax.jit(
+        lambda k, l: distributed_bundle_adjustment(
+            k, l, kfc, cam, mesh, window=8, max_points=256, iterations=8
+        )
+    )(kfs_p, lms_p)
+
+    assert float(stats_d.rmse_after) < 0.5
+    assert float(stats_d.rmse_after) < float(stats_d.rmse_before) * 0.1
+    # same optimum as the single-device solver
+    np.testing.assert_allclose(
+        np.asarray(kfs_d.t[:num_kf]), np.asarray(kfs_s.t[:num_kf]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(lms_d.pos[:num_pts]), np.asarray(lms_s.pos[:num_pts]),
+        atol=5e-3,
+    )
+
+
+def test_distributed_ba_recovers_gt():
+    cam, kfs, lms, poses_gt, pts_gt, num_kf, num_pts = _make_problem()
+    kfs_p, lms_p = _perturb(kfs, lms, num_kf, num_pts)
+    mesh = _mesh()
+    kfs_d, lms_d, stats = distributed_bundle_adjustment(
+        kfs_p, lms_p, jnp.int32(num_kf), cam, mesh,
+        window=8, max_points=256, iterations=10,
+    )
+    for k in range(1, num_kf):  # pose 0 is the gauge anchor
+        xi = log_se3(SE3(kfs_d.R[k], kfs_d.t[k]) @ poses_gt[k].inverse())
+        assert float(jnp.linalg.norm(xi[3:])) < 0.01, f"kf {k}"
+    err = np.linalg.norm(np.asarray(lms_d.pos[:num_pts]) - pts_gt, axis=-1)
+    assert np.median(err) < 0.01
