@@ -35,7 +35,15 @@ def unpack_pm1(desc: jax.Array) -> jax.Array:
 
 
 def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array) -> jax.Array:
-    """Full Hamming distance matrix [Ka, Kb] via one MXU matmul."""
+    """Full Hamming distance matrix [Ka, Kb] float32.
+
+    On TPU: the Pallas XOR+popcount kernel on packed words (exact, no
+    32x unpack traffic — `ops/hamming.py`). Elsewhere: the ±1 matmul
+    formulation."""
+    if jax.default_backend() == "tpu":
+        from ra_slam_tpu.ops.hamming import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(desc_a, desc_b).astype(jnp.float32)
     a = unpack_pm1(desc_a)
     b = unpack_pm1(desc_b)
     dot = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
