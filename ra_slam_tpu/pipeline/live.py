@@ -1,0 +1,110 @@
+"""Live robot pipeline: stereo tracking thread + RGB-D mapping thread.
+
+Parity with `main/live_camera` (`/root/reference/main/live_camera.cc:16-94`):
+two free-running camera loops bridged only by the timestamped pose
+buffer — thread 1 feeds the stereo tracking camera into SLAM, thread 2
+feeds the RGB-D depth camera through segmentation into the TSDF map
+with timestamp-interpolated poses, and the main thread periodically
+renders raycast previews (the ImGui window's role) and handles
+shutdown. Camera drivers come from `io/cameras.py` and require real
+hardware; everything else is the same code path exercised by the
+offline tests.
+
+    python -m ra_slam_tpu.pipeline.live --config zed_l515.yaml \
+        --model seg.msgpack --out /tmp/live
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import threading
+import time
+
+
+def run(system, stereo_cam, rgbd_cam, out_dir=None, render_every_s=2.0,
+        stop_after_s=None):
+    """The reference's `run()` thread layout (`live_camera.cc:16-38`)."""
+    stop = threading.Event()
+
+    def t_slam():
+        while not stop.is_set():
+            left, right, ts = stereo_cam.get_stereo_frame()
+            system.feed_stereo_frame(left, right, ts)
+
+    def t_tsdf():
+        while not stop.is_set():
+            rgb, depth, ts = rgbd_cam.get_rgbd_frame()
+            system.feed_rgbd_frame(rgb, depth, ts)
+
+    threads = [
+        threading.Thread(target=t_slam, daemon=True),
+        threading.Thread(target=t_tsdf, daemon=True),
+    ]
+    for t in threads:
+        t.start()
+
+    t0 = time.monotonic()
+    i = 0
+    try:
+        while not stop.is_set():
+            time.sleep(render_every_s)
+            pose = system.slam.pose_buffer.latest() if system.slam else None
+            if pose is not None and out_dir:
+                import cv2
+                import numpy as np
+
+                out = system.render(pose)
+                os.makedirs(out_dir, exist_ok=True)
+                cv2.imwrite(
+                    os.path.join(out_dir, f"live_{i:05d}.png"),
+                    cv2.cvtColor(
+                        np.asarray(out["rgba"], np.uint8), cv2.COLOR_RGBA2BGRA
+                    ),
+                )
+                i += 1
+            if stop_after_s and time.monotonic() - t0 > stop_after_s:
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        stop.set()
+    return i
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True, help="system YAML (reference schema)")
+    p.add_argument("--calib", default=None,
+                   help="stereo calibration YAML (Calibration.* keys); "
+                        "defaults to --config")
+    p.add_argument("--model", default=None, help="segmentation checkpoint")
+    p.add_argument("--out", default=None, help="render preview dir")
+    p.add_argument("--zed-device", type=int, default=0)
+    p.add_argument("--duration", type=float, default=None, help="seconds")
+    args = p.parse_args(argv)
+
+    from ra_slam_tpu.core.config import load_yaml_config
+    from ra_slam_tpu.core.rectify import StereoRectifier, rewrite_camera_config
+    from ra_slam_tpu.io.cameras import RealSenseCamera, ZedNativeCamera
+    from ra_slam_tpu.pipeline.system import RaSlamSystem
+
+    cfg = load_yaml_config(args.config)
+    rectifier = StereoRectifier.from_yaml(args.calib or args.config)
+    cfg = rewrite_camera_config(cfg, rectifier)
+
+    system = RaSlamSystem(cfg, segmentation_model=args.model)
+    stereo = ZedNativeCamera(rectifier, device_id=args.zed_device)
+    rgbd = RealSenseCamera()
+    try:
+        n = run(system, stereo, rgbd, out_dir=args.out,
+                stop_after_s=args.duration)
+        print(f"live session done: {system.num_integrated} frames fused, "
+              f"{n} previews")
+    finally:
+        stereo.close()
+        rgbd.close()
+
+
+if __name__ == "__main__":
+    main()

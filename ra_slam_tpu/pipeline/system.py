@@ -28,6 +28,7 @@ provides the overlap; host threads are only needed for IO (see
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -99,6 +100,10 @@ class RaSlamSystem:
 
         self.last_stats: dict = {}
         self.num_integrated = 0
+        # serializes jitted-step dispatch between camera threads — the
+        # reference's mutex-guarded queue role (modules/tsdf_module.cc);
+        # device execution is serialized by JAX anyway, threads overlap IO
+        self._lock = threading.RLock()
 
     # -- tracking camera path -------------------------------------------------
     def feed_tracking_frame(
@@ -112,9 +117,10 @@ class RaSlamSystem:
         `disinfect_slam.cc:45-51`): track, and register the pose in the
         buffer only when tracking succeeded."""
         assert self.slam is not None, "tracking disabled"
-        return self.slam.feed_rgbd_frame(
-            rgb, depth, timestamp, pose_hint=pose_hint
-        )
+        with self._lock:
+            return self.slam.feed_rgbd_frame(
+                rgb, depth, timestamp, pose_hint=pose_hint
+            )
 
     def feed_stereo_frame(
         self,
@@ -126,9 +132,10 @@ class RaSlamSystem:
         """Rectified stereo tracking-camera path (the reference's
         `feed_stereo_frame`, `disinfect_slam.cc:45-51`)."""
         assert self.slam is not None, "tracking disabled"
-        return self.slam.feed_stereo_frame(
-            left, right, timestamp, pose_hint=pose_hint
-        )
+        with self._lock:
+            return self.slam.feed_stereo_frame(
+                left, right, timestamp, pose_hint=pose_hint
+            )
 
     # -- depth camera path ----------------------------------------------------
     def feed_rgbd_frame(
@@ -163,6 +170,10 @@ class RaSlamSystem:
         if ht is None or lt is None:
             ht, lt = self.seg.infer_one(rgb)
 
+        with self._lock:
+            return self._integrate_locked(rgb, depth, ht, lt, pose)
+
+    def _integrate_locked(self, rgb, depth, ht, lt, pose) -> dict:
         self.map, stats = self._integrate(
             self.map,
             jnp.asarray(rgb, jnp.float32),
@@ -183,7 +194,8 @@ class RaSlamSystem:
 
     def query_tsdf(self, lo, hi) -> np.ndarray:
         """(x, y, z, tsdf) rows inside the AABB (planner API)."""
-        return query_tsdf(self.map, self.cfg.tsdf, lo, hi)
+        with self._lock:
+            return query_tsdf(self.map, self.cfg.tsdf, lo, hi)
 
     def render(
         self, cam_T_world: SE3, cam: Optional[PinholeCamera] = None
@@ -199,18 +211,23 @@ class RaSlamSystem:
             self._raycast_cache[key] = jax.jit(
                 functools.partial(raycast, cam=cam, cfg=self.cfg.tsdf)
             )
-        return self._raycast_cache[key](self.map, cam_T_world=cam_T_world)
+        # lock: a concurrent integrate donates (invalidates) map buffers
+        with self._lock:
+            return self._raycast_cache[key](self.map, cam_T_world=cam_T_world)
 
     # -- export -----------------------------------------------------------------
     def download_all(self, path: str) -> int:
-        return dump_semantic_tsdf(self.map, self.cfg.tsdf, path)
+        with self._lock:
+            return dump_semantic_tsdf(self.map, self.cfg.tsdf, path)
 
     def download_all_mesh(
         self, vertices_path: str, indices_path: str, prob_path: str
     ) -> Tuple[int, int]:
-        verts, idx, probs = extract_mesh(self.map, self.cfg.tsdf)
+        with self._lock:
+            verts, idx, probs = extract_mesh(self.map, self.cfg.tsdf)
         save_mesh(verts, idx, probs, vertices_path, indices_path, prob_path)
         return len(verts), len(idx)
 
     def semantic_voxels(self) -> np.ndarray:
-        return gather_valid_semantic(self.map, self.cfg.tsdf)
+        with self._lock:
+            return gather_valid_semantic(self.map, self.cfg.tsdf)
