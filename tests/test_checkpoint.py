@@ -1,6 +1,7 @@
 """Checkpoint / resume round-trip tests."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from ra_slam_tpu.core.config import CameraConfig, SystemConfig, TsdfConfig
@@ -93,6 +94,7 @@ def test_system_checkpoint_resume(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_slam_state_checkpoint(tmp_path):
     spec = SyntheticCameraSpec(fx=80.0, fy=80.0, cx=79.5, cy=59.5,
                                width=160, height=120)

@@ -11,6 +11,7 @@ from ra_slam_tpu.parallel.dist_ba import distributed_bundle_adjustment
 from ra_slam_tpu.slam.ba import local_bundle_adjustment
 
 from test_ba import _make_problem, _perturb
+import pytest
 
 
 def _mesh(n=8):
@@ -48,6 +49,7 @@ def test_distributed_ba_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_distributed_ba_recovers_gt():
     cam, kfs, lms, poses_gt, pts_gt, num_kf, num_pts = _make_problem()
     kfs_p, lms_p = _perturb(kfs, lms, num_kf, num_pts)

@@ -1,5 +1,6 @@
 """Pose-graph optimization and loop-closure retrieval tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +79,7 @@ def test_pose_graph_corrects_drift():
     assert after < before * 0.2, (before, after)
 
 
+@pytest.mark.slow
 def test_pose_graph_noop_when_consistent():
     """With edges exactly matching the estimates, poses shouldn't move."""
     n = 6
@@ -166,6 +168,7 @@ def test_retrieval_finds_similar_keyframe():
     assert int(cand2) == -1
 
 
+@pytest.mark.slow
 def test_system_loop_close_path():
     """Drive SlamSystem with aggressive loop settings so the jitted
     detect->PGO->landmark-correction path executes end-to-end; tracking

@@ -9,8 +9,10 @@ from ra_slam_tpu.core.se3 import SE3, exp_se3, log_se3
 from ra_slam_tpu.io.synthetic import SyntheticBoxDataset, SyntheticCameraSpec
 from ra_slam_tpu.slam.system import SlamSystem
 from ra_slam_tpu.utils.pose_buffer import PoseBuffer
+import pytest
 
 
+@pytest.mark.slow
 def test_slam_system_orbit_ate():
     spec = SyntheticCameraSpec(
         fx=160.0, fy=160.0, cx=159.5, cy=119.5, width=320, height=240

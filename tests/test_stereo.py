@@ -1,5 +1,7 @@
 """Stereo depth, rectification, and stereo tracking tests."""
 
+import pytest
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,6 +119,7 @@ def test_rectifier_from_yaml(tmp_path):
     assert abs(rect.focal_x_baseline - FXB) / FXB < 0.05
 
 
+@pytest.mark.slow
 def test_stereo_tracking():
     """Feed synthetic rectified stereo pairs; poses must track the orbit."""
     from ra_slam_tpu.core.config import FeatureConfig, TrackingConfig
@@ -147,3 +150,40 @@ def test_stereo_tracking():
         xi = log_se3(info.pose @ gt.inverse())
         errs.append(float(jnp.linalg.norm(xi[3:])))
     assert max(errs) < 0.1, f"stereo translation errors {errs}"
+
+
+def test_dense_stereo_depth():
+    """Dense census disparity recovers the synthetic GT depth map (the
+    ZED-SDK dense-depth capability, `/root/reference/cameras/zed.h:9-42`)."""
+    from ra_slam_tpu.features.pyramid import rgb_to_gray
+    from ra_slam_tpu.features.stereo import dense_stereo_depth
+
+    # finer wall texture (15 px cells) than the shared pair: census
+    # needs local contrast, and flat cell interiors are honestly
+    # untextured (correctly gated out, not mismatched)
+    w_T_c_l = look_at(np.array([0.3, 0.0, 0.0]), np.array([0.0, 0.0, 1.5]))
+    w_T_c_r = w_T_c_l.copy()
+    w_T_c_r[:3, 3] += w_T_c_l[:3, 0] * BASELINE
+    rgb_l, depth_gt, _, _ = render_box_room(SPEC, w_T_c_l, HE, checker=0.125)
+    rgb_r, _, _, _ = render_box_room(SPEC, w_T_c_r, HE, checker=0.125)
+    gl = rgb_to_gray(jnp.asarray(rgb_l, jnp.float32))
+    gr = rgb_to_gray(jnp.asarray(rgb_r, jnp.float32))
+    depth, valid = jax.jit(
+        lambda a, b: dense_stereo_depth(a, b, FXB, max_disparity=32)
+    )(gl, gr)
+    d = np.asarray(depth)
+    v = np.asarray(valid)
+    # decent coverage away from the left-border search margin
+    assert v[:, 40:].mean() > 0.5, f"coverage {v[:, 40:].mean():.2f}"
+    rel = np.abs(d[v] - np.asarray(depth_gt)[v]) / np.asarray(depth_gt)[v]
+    assert np.median(rel) < 0.05, f"median rel err {np.median(rel):.3f}"
+    assert (rel < 0.1).mean() > 0.9
+
+
+def test_dense_stereo_rejects_flat_regions():
+    """Textureless input must not produce spurious confident depth."""
+    from ra_slam_tpu.features.stereo import dense_stereo_depth
+
+    flat = jnp.full((120, 160), 100.0, jnp.float32)
+    depth, valid = dense_stereo_depth(flat, flat, FXB, max_disparity=32)
+    assert float(jnp.mean(valid.astype(jnp.float32))) < 0.2

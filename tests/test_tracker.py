@@ -1,5 +1,6 @@
 """Frame-to-map tracking on the synthetic box dataset."""
 
+import pytest
 import functools
 
 import jax
@@ -25,6 +26,7 @@ def _pose_err(a: SE3, b: SE3):
     return float(jnp.linalg.norm(xi[:3])), float(jnp.linalg.norm(xi[3:]))
 
 
+@pytest.mark.slow
 def test_track_synthetic_orbit():
     spec = SyntheticCameraSpec(
         fx=160.0, fy=160.0, cx=159.5, cy=119.5, width=320, height=240
@@ -68,6 +70,7 @@ def test_track_synthetic_orbit():
     assert max(rot_errs) < 0.035, f"rotation errors {rot_errs}"
 
 
+@pytest.mark.slow
 def test_tracking_lost_on_textureless():
     cam = PinholeCamera(
         fx=jnp.float32(160.0), fy=jnp.float32(160.0),
