@@ -1,3 +1,4 @@
+from ra_slam_tpu.eval.ate import ate_rmse, rpe_rmse, umeyama_alignment
 from ra_slam_tpu.eval.labelparser import (
     NYU40_HT_DICT,
     NYU40_ID_TO_CLASS,
@@ -13,6 +14,9 @@ from ra_slam_tpu.eval.scannet_eval import (
 
 __all__ = [
     "LabelParser",
+    "ate_rmse",
+    "rpe_rmse",
+    "umeyama_alignment",
     "MeshReader",
     "NYU40_HT_DICT",
     "NYU40_ID_TO_CLASS",

@@ -72,8 +72,10 @@ def load_dataset(args):
     spec = SyntheticCameraSpec(
         fx=320.0, fy=320.0, cx=319.5, cy=239.5, width=640, height=480
     )
+    # 120-frame orbit: 3 deg/frame keeps the tracker's constant-velocity
+    # + gating assumptions valid (60 frames = 6 deg/frame loses frame 1)
     return SyntheticBoxDataset(
-        num_frames=60, cam=spec, half_extents=(3.0, 2.0, 3.0), radius=1.0
+        num_frames=120, cam=spec, half_extents=(3.0, 2.0, 3.0), radius=1.0
     )
 
 
@@ -123,8 +125,11 @@ def main(argv=None) -> dict:
         frames_iter = (ds.frame(i) for i in range(n))
 
     t_seg = t_int = t_track = 0.0
+    gt_traj = []  # (frame_id, 3x4) GT rows for ATE scoring
     t0 = time.perf_counter()
     for i, fr in enumerate(frames_iter):
+        if fr.cam_T_world is not None:
+            gt_traj.append((fr.frame_id, np.asarray(fr.cam_T_world)[:3, :4]))
         pose = None
         if args.use_slam:
             ts = time.perf_counter()
@@ -186,10 +191,22 @@ def main(argv=None) -> dict:
 
             result["eval"] = ScannetEval(tsdf_path, args.eval_gt).summary()
 
-    if args.trajectory_out and args.use_slam:
-        from ra_slam_tpu.io import save_trajectory
+    if args.use_slam:
+        est_traj = sys_.slam.trajectory()
+        if args.trajectory_out:
+            from ra_slam_tpu.io import save_trajectory
 
-        save_trajectory(args.trajectory_out, sys_.slam.trajectory())
+            save_trajectory(args.trajectory_out, est_traj)
+        if len(gt_traj) >= 3 and len(est_traj) >= 3:
+            # the quantitative acceptance test the reference leaves to
+            # its paper: ATE of tracked vs GT trajectory (BASELINE.md #1)
+            from ra_slam_tpu.eval.ate import ate_rmse, rpe_rmse
+
+            try:
+                result["ate"] = ate_rmse(est_traj, gt_traj)
+                result["rpe"] = rpe_rmse(est_traj, gt_traj, delta=1)
+            except ValueError as e:
+                result["ate_error"] = str(e)
 
     print(json.dumps(result))
     return result

@@ -155,6 +155,11 @@ class RaSlamSystem:
         tsdf = self.cfg.tsdf
         if pose is None:
             assert self.slam is not None, "no pose source"
+            if self.slam.lost:
+                # pause integration while tracking is lost (closes the
+                # reference's own TODO, /root/reference/README.md:43 —
+                # fusing with a stale nearest pose corrupts the map)
+                return {"skipped": "tracking lost"}
             pose = self.slam.query_pose(timestamp)
             if pose is None:
                 return {"skipped": "no pose"}

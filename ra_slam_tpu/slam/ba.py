@@ -71,16 +71,20 @@ def gather_window(
     kf_counter: jax.Array,
     window: int,
     max_points: int,
+    start: jax.Array | None = None,
 ) -> BAWindow:
-    """Extract the last `window` keyframes + their landmarks (static shapes).
+    """Extract a `window` of keyframes + their landmarks (static shapes).
 
     Keyframe slots are insertion-ordered (slot == keyframe counter at
-    insert time), so the local window is a contiguous slot range. The
-    oldest row is marked fixed to anchor the gauge.
+    insert time), so a window is a contiguous slot range. By default the
+    newest `window` keyframes (local BA); pass `start` to window an
+    arbitrary range (global-BA sweeps). The oldest row is marked fixed
+    to anchor the gauge.
     """
     W, L = window, max_points
     F = kfs.num_features
-    start = jnp.maximum(kf_counter - W, 0)
+    if start is None:
+        start = jnp.maximum(kf_counter - W, 0)
     slot = start + jnp.arange(W, dtype=jnp.int32)
     kf_ok = slot < kf_counter
     slot_c = jnp.minimum(slot, kfs.capacity - 1)
@@ -277,6 +281,73 @@ def scatter_window(
     gidx = jnp.where(win.point_ok, win.loc2glob, lms.capacity)
     lms = lms._replace(pos=lms.pos.at[gidx].set(points, mode="drop"))
     return kfs, lms
+
+
+def global_bundle_adjustment(
+    kfs: Keyframes,
+    lms: Landmarks,
+    kf_counter: jax.Array,
+    cam: PinholeCamera,
+    window: int = 16,
+    stride: int | None = None,
+    max_points: int = 4096,
+    iterations: int = 4,
+    sweeps: int = 2,
+    huber_delta: float = 3.0,
+) -> Tuple[Keyframes, Landmarks, BAStats]:
+    """Map-wide structure+pose refinement (the reference's background
+    global BA, provided there by g2o inside OpenVSLAM — SURVEY.md §2.8).
+
+    A single dense Schur solve over *all* keyframes would need a
+    [L, K, 6, 3] coupling tensor (gigabytes at full capacity), so the
+    TPU formulation is overlapping block-Gauss-Seidel sweeps: slide a
+    `window`-keyframe Schur solve over the whole insertion-ordered
+    range with 50% overlap, each window anchored on its oldest pose
+    (already refined by the previous, overlapping window), repeated
+    `sweeps` times. Corrections — e.g. from a pose-graph loop update —
+    propagate map-wide while every solve stays at the fixed local-BA
+    shape. Fully jit-able: the chunk loop is a `fori_loop` with a
+    dynamic trip count derived from `kf_counter`.
+    """
+    stride_ = stride if stride is not None else max(window // 2, 1)
+    last_start = jnp.maximum(kf_counter - window, 0)
+    n_chunks = last_start // stride_ + 1  # dynamic; >= 1
+
+    def chunk_step(c, carry):
+        kfs_c, lms_c, sq, n = carry
+        start = jnp.minimum(c * stride_, last_start)
+        win = gather_window(
+            kfs_c, lms_c, kf_counter, window, max_points, start=start
+        )
+        poses, points, st = solve_window(
+            win, cam, iterations=iterations, huber_delta=huber_delta
+        )
+        kfs_c, lms_c = scatter_window(kfs_c, lms_c, win, poses, points)
+        nf = st.num_obs.astype(jnp.float32)
+        return (
+            kfs_c, lms_c,
+            sq + jnp.stack([st.rmse_before**2, st.rmse_after**2]) * nf,
+            n + nf,
+        )
+
+    def sweep(_, carry):
+        return jax.lax.fori_loop(0, n_chunks, chunk_step, carry)
+
+    zero = jnp.zeros(2, jnp.float32)
+    kfs, lms, sq, n = jax.lax.fori_loop(
+        0, sweeps, sweep, (kfs, lms, zero, jnp.float32(0.0))
+    )
+    # aggregate over all chunk solves (overlap double-counts some
+    # observations; fine for a monitoring stat)
+    rmse = jnp.sqrt(sq / jnp.maximum(n, 1.0))
+    stats = BAStats(
+        num_poses=jnp.minimum(kf_counter, kfs.capacity),
+        num_points=jnp.int32(0),
+        num_obs=(n / jnp.float32(sweeps)).astype(jnp.int32),
+        rmse_before=rmse[0],
+        rmse_after=rmse[1],
+    )
+    return kfs, lms, stats
 
 
 def local_bundle_adjustment(

@@ -124,6 +124,81 @@ def verify_candidate(
     )
 
 
+class RelocResult(NamedTuple):
+    pose: SE3  # recovered cam_T_world
+    cand: jax.Array  # int32 keyframe the pose was recovered against
+    score: jax.Array  # float32 retrieval similarity
+    num_inliers: jax.Array  # int32
+    accepted: jax.Array  # bool
+
+
+def relocalize(
+    kfs: Keyframes,
+    lms: Landmarks,
+    desc: jax.Array,  # [F, 8] uint32 query-frame descriptors
+    valid: jax.Array,  # [F] bool
+    uv: jax.Array,  # [F, 2] float32 query-frame pixels
+    kf_counter: jax.Array,
+    cam: PinholeCamera,
+    tcfg: TrackingConfig,
+    min_inliers: int = 20,
+    iterations: int = 10,
+) -> RelocResult:
+    """Re-acquire the camera pose after tracking loss.
+
+    The reference consumes OpenVSLAM's relocalizer through the tracking
+    state of `feed_*_w_feedback` (`/root/reference/modules/slam_module.cc:154-160`).
+    Native redesign: the lost frame is embedded exactly like a keyframe
+    (mean ±1 descriptor), retrieved against the whole keyframe database
+    with one MXU matmul (no temporal gating — any keyframe may match),
+    then verified by mutual descriptor matching + robust motion-only GN
+    against the candidate's landmarks. Pure and jit-able.
+    """
+    pm1 = unpack_pm1(desc)  # [F, 256]
+    w = valid.astype(jnp.float32)
+    q = jnp.sum(pm1 * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    norms = jnp.linalg.norm(kfs.embed, axis=-1)
+    qn = jnp.maximum(jnp.linalg.norm(q), 1e-9)
+    scores = (kfs.embed @ q) / jnp.maximum(norms * qn, 1e-9)
+    ok = kfs.valid & (jnp.arange(kfs.capacity) < kf_counter)
+    scores = jnp.where(ok, scores, -jnp.inf)
+    cand = jnp.argmax(scores).astype(jnp.int32)
+
+    c_desc = kfs.desc[cand]
+    c_w = kfs.obs_w[cand]
+    c_lm = kfs.obs_lm[cand]
+    matches = mutual_match(
+        desc,
+        valid,
+        c_desc,
+        (c_w > 0) & (c_lm >= 0),
+        max_distance=tcfg.match_hamming_max,
+        ratio=tcfg.match_ratio,
+    )
+    lm_idx = c_lm[matches.idx]
+    okm = matches.valid & (lm_idx >= 0) & lms.valid[jnp.maximum(lm_idx, 0)]
+    pts = lms.pos[jnp.maximum(lm_idx, 0)]
+
+    seed = SE3(kfs.R[cand], kfs.t[cand])
+    res = motion_only_gn(
+        seed,
+        pts,
+        uv,
+        okm.astype(jnp.float32),
+        cam,
+        iterations=iterations,
+        huber_delta=tcfg.huber_delta,
+    )
+    accepted = jnp.any(ok) & (res.num_inliers >= min_inliers)
+    return RelocResult(
+        pose=res.pose,
+        cand=cand,
+        score=scores[cand],
+        num_inliers=res.num_inliers,
+        accepted=accepted,
+    )
+
+
 def detect_loop(
     kfs: Keyframes,
     lms: Landmarks,

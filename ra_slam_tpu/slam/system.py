@@ -30,9 +30,17 @@ from ra_slam_tpu.core.se3 import SE3
 from ra_slam_tpu.features.orb import Keypoints, detect_and_describe
 from ra_slam_tpu.features.pyramid import rgb_to_gray
 from ra_slam_tpu.features.stereo import sparse_depth_image, stereo_keypoint_depth
-from ra_slam_tpu.slam.ba import local_bundle_adjustment
+from ra_slam_tpu.slam.ba import (
+    global_bundle_adjustment,
+    local_bundle_adjustment,
+)
 from ra_slam_tpu.slam.keyframes import Keyframes, create_keyframes, insert_keyframe
-from ra_slam_tpu.slam.loop_closure import LoopCandidate, detect_loop
+from ra_slam_tpu.slam.loop_closure import (
+    LoopCandidate,
+    RelocResult,
+    detect_loop,
+    relocalize,
+)
 from ra_slam_tpu.slam.pose_graph import (
     PoseGraphEdges,
     add_edge,
@@ -69,6 +77,7 @@ class FrameInfo(NamedTuple):
     inserted_keyframe: bool
     ba_rmse: float
     loop_closed: bool = False
+    relocalized: bool = False
 
 
 def _insert_kf_step(
@@ -121,6 +130,73 @@ def _ba_step(
         lms=lms,
     )
     return SlamState(track=track, kfs=kfs), stats.rmse_after
+
+
+def _gba_step(
+    state: SlamState,
+    cam: PinholeCamera,
+    window: int,
+    max_points: int,
+    iterations: int,
+    sweeps: int,
+) -> Tuple[SlamState, jax.Array]:
+    """Global BA over all keyframes (post-loop-closure map-wide
+    refinement); propagates the newest-keyframe correction to the
+    tracker's current pose like `_ba_step`."""
+    kfc = state.track.kf_counter
+    newest = jnp.maximum(kfc - 1, 0)
+    old_kf = SE3(state.kfs.R[newest], state.kfs.t[newest])
+
+    kfs, lms, stats = global_bundle_adjustment(
+        state.kfs, state.track.lms, kfc, cam,
+        window=window, max_points=max_points,
+        iterations=iterations, sweeps=sweeps,
+    )
+    new_kf = SE3(kfs.R[newest], kfs.t[newest])
+    rel = state.track.pose @ old_kf.inverse()
+    track = state.track._replace(
+        pose=rel @ new_kf, last_kf_pose=new_kf, lms=lms
+    )
+    return SlamState(track=track, kfs=kfs), stats.rmse_after
+
+
+def _reloc_step(
+    state: SlamState,
+    kp: Keypoints,
+    cam: PinholeCamera,
+    tcfg: TrackingConfig,
+    min_inliers: int,
+) -> Tuple[SlamState, RelocResult]:
+    """Attempt relocalization of a lost frame against the keyframe DB;
+    on acceptance the tracker resumes from the recovered pose with zero
+    velocity (OpenVSLAM relocalizer role,
+    `/root/reference/modules/slam_module.cc:154-160`)."""
+    res = relocalize(
+        state.kfs, state.track.lms, kp.desc, kp.valid, kp.uv,
+        state.track.kf_counter, cam, tcfg, min_inliers=min_inliers,
+    )
+    acc = res.accepted
+    track = state.track._replace(
+        pose=jax.tree.map(
+            lambda a, b: jnp.where(acc, a, b), res.pose, state.track.pose
+        ),
+        velocity=jnp.where(acc, 0.0, state.track.velocity),
+        lost=jnp.where(acc, False, state.track.lost),
+    )
+    return SlamState(track=track, kfs=state.kfs), res
+
+
+def _frame_ref_rel(state: SlamState) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-frame statistics for matched-trajectory export: the reference
+    keyframe slot (newest) and cam_T_keyframe of the current frame.
+
+    Mirrors OpenVSLAM's per-frame `ref_keyfrm` + relative-pose statistics
+    the reference composes in `SaveMatchedTrajectory`
+    (`/root/reference/modules/slam_module.cc:38-54`)."""
+    ref = jnp.maximum(state.track.kf_counter - 1, 0)
+    kf = SE3(state.kfs.R[ref], state.kfs.t[ref])
+    rel = state.track.pose @ kf.inverse()
+    return ref, rel.R, rel.t
 
 
 def _add_odometry_edge(
@@ -182,7 +258,12 @@ class SlamSystem:
         loop_min_gap: int = 30,
         loop_min_score: float = 0.05,
         loop_min_inliers: int = 25,
+        reloc_min_inliers: int = 20,
         pgo_iterations: int = 8,
+        gba_after_loop: bool = True,
+        gba_window: int = 16,
+        gba_iterations: int = 4,
+        gba_sweeps: int = 2,
         focal_x_baseline: float = 0.0,  # fx*b for stereo frames
         max_disparity: int = 64,
     ):
@@ -224,6 +305,22 @@ class SlamSystem:
             functools.partial(_loop_close_step, pgo_iterations=pgo_iterations)
         )
         self._add_odo_edge = jax.jit(_add_odometry_edge)
+        self._ref_rel = jax.jit(_frame_ref_rel)
+        self._reloc = jax.jit(
+            functools.partial(
+                _reloc_step, cam=cam, tcfg=tcfg,
+                min_inliers=reloc_min_inliers,
+            )
+        )
+        self.num_relocalizations = 0
+        self.gba_after_loop = gba_after_loop
+        self._gba = jax.jit(
+            functools.partial(
+                _gba_step, cam=cam, window=gba_window,
+                max_points=ba_max_points, iterations=gba_iterations,
+                sweeps=gba_sweeps,
+            )
+        )
         if focal_x_baseline > 0:
             def _stereo(gray_l, gray_r, uv, valid):
                 d, ok = stereo_keypoint_depth(
@@ -246,6 +343,12 @@ class SlamSystem:
         self._n_edges = 0
         self.num_loop_closures = 0
         self._frames: list[Tuple[int, float]] = []  # (frame_id, timestamp)
+        # per-frame (frame_id, timestamp, ref_kf_slot, rel R 3x3, rel t 3)
+        # for matched-trajectory export (reference frame statistics,
+        # `/root/reference/modules/slam_module.cc:38-54`)
+        self._frame_stats: list[
+            Tuple[int, float, int, np.ndarray, np.ndarray]
+        ] = []
 
     # ------------------------------------------------------------------
     def feed_rgbd_frame(
@@ -309,11 +412,22 @@ class SlamSystem:
             )
             self.state = SlamState(track=track, kfs=kfs)
             self.pose_buffer.register(timestamp, track.pose)
+            self._frame_stats.append(
+                (fid, timestamp, 0, np.eye(3, dtype=np.float32),
+                 np.zeros(3, np.float32))
+            )
             return FrameInfo(track.pose, True, 0, 0, True, 0.0)
 
         state = self.state
         track, res = self._track(state.track, kp)
         state = SlamState(track=track, kfs=state.kfs)
+
+        relocalized = False
+        if bool(track.lost):
+            state, rres = self._reloc(state, kp)
+            if bool(rres.accepted):
+                relocalized = True
+                self.num_relocalizations += 1
 
         inserted = False
         loop_closed = False
@@ -349,11 +463,22 @@ class SlamSystem:
                     self._n_edges += 1
                     self.num_loop_closures += 1
                     loop_closed = True
+                    if self.gba_after_loop:
+                        # map-wide structure refinement after the
+                        # pose-graph correction (OpenVSLAM's background
+                        # global BA role, SURVEY.md §2.8)
+                        state, rmse = self._gba(state)
+                        ba_rmse = float(rmse)
 
         self.state = state
         tracked = not bool(state.track.lost)
         if tracked:
             self.pose_buffer.register(timestamp, state.track.pose)
+            ref, rel_R, rel_t = self._ref_rel(state)
+            self._frame_stats.append(
+                (fid, timestamp, int(ref),
+                 np.asarray(rel_R), np.asarray(rel_t))
+            )
         return FrameInfo(
             pose=state.track.pose,
             tracked=tracked,
@@ -362,19 +487,39 @@ class SlamSystem:
             inserted_keyframe=inserted,
             ba_rmse=ba_rmse,
             loop_closed=loop_closed,
+            relocalized=relocalized,
         )
 
     # ------------------------------------------------------------------
+    @property
+    def lost(self) -> bool:
+        """True while tracking is lost (pre-relocalization)."""
+        return bool(self.state.track.lost)
+
     def query_pose(self, timestamp: float) -> Optional[SE3]:
         """Interpolated cam_T_world for a mapper timestamp (the facade's
         `query_camera_pose`, `/root/reference/disinfect_slam/disinfect_slam.cc`)."""
         return self.pose_buffer.query(timestamp)
 
     def trajectory(self) -> list[Tuple[int, np.ndarray]]:
-        """(frame_id, 3x4 cam_T_world) rows for every *keyframe*, composed
-        from the BA-refined keyframe poses — the reference's
-        `SaveMatchedTrajectory` semantics (later refinements propagate,
-        `/root/reference/modules/slam_module.cc:20-66`)."""
+        """(frame_id, 3x4 cam_T_world) rows for **every tracked frame**,
+        composed as `cTw = cTk · kTw` from each frame's reference-keyframe
+        statistics and the *current* (BA/PGO-refined) keyframe poses — the
+        reference's `SaveMatchedTrajectory` semantics, where later
+        refinements propagate to all frames
+        (`/root/reference/modules/slam_module.cc:20-66`)."""
+        kfs = self.state.kfs
+        Rk = np.asarray(kfs.R)
+        tk = np.asarray(kfs.t)
+        out = []
+        for fid, _ts, ref, rel_R, rel_t in self._frame_stats:
+            R = rel_R @ Rk[ref]
+            t = rel_R @ tk[ref] + rel_t
+            out.append((fid, np.concatenate([R, t[:, None]], axis=1)))
+        return out
+
+    def keyframe_trajectory(self) -> list[Tuple[int, np.ndarray]]:
+        """(frame_id, 3x4 cam_T_world) rows for keyframes only."""
         kfs = self.state.kfs
         n = int(self.state.track.kf_counter)
         out = []

@@ -8,7 +8,11 @@ import numpy as np
 
 from ra_slam_tpu.core.camera import PinholeCamera
 from ra_slam_tpu.core.se3 import SE3, exp_se3, log_se3
-from ra_slam_tpu.slam.ba import gather_window, local_bundle_adjustment
+from ra_slam_tpu.slam.ba import (
+    gather_window,
+    global_bundle_adjustment,
+    local_bundle_adjustment,
+)
 from ra_slam_tpu.slam.keyframes import create_keyframes, insert_keyframe
 from ra_slam_tpu.slam.landmarks import create_landmarks
 
@@ -105,6 +109,36 @@ def test_ba_respects_fixed_gauge():
     )
     np.testing.assert_allclose(np.asarray(kfs2.R[0]), np.asarray(R0), atol=1e-6)
     np.testing.assert_allclose(np.asarray(kfs2.t[0]), np.asarray(t0), atol=1e-6)
+
+
+def test_global_ba_refines_outside_local_window():
+    """Perturb a 12-keyframe map everywhere; a window-4 local BA only
+    touches the newest keyframes, while the global sweeps recover poses
+    and structure map-wide (the g2o global-BA role, SURVEY.md §2.8)."""
+    cam, kfs, lms, poses_gt, pts_gt, num_kf, num_pts = _make_problem(
+        num_kf=12
+    )
+    kfs, lms = _perturb(kfs, lms, num_kf, num_pts)
+
+    gba = jax.jit(
+        functools.partial(
+            global_bundle_adjustment,
+            cam=cam, window=4, max_points=256, iterations=6, sweeps=2,
+        )
+    )
+    kfs2, lms2, stats = gba(kfs, lms, jnp.int32(num_kf))
+
+    assert float(stats.rmse_before) > 0.5
+    assert float(stats.rmse_after) < 0.05, (
+        f"global BA did not converge: {float(stats.rmse_before):.3f} -> "
+        f"{float(stats.rmse_after):.3f}"
+    )
+    # early keyframes (outside any newest-4 window) must also recover
+    for k in range(num_kf):
+        xi = log_se3(SE3(kfs2.R[k], kfs2.t[k]) @ poses_gt[k].inverse())
+        assert float(jnp.linalg.norm(xi[3:])) < 1e-2, f"kf {k} not refined"
+    pt_err = jnp.linalg.norm(lms2.pos[:num_pts] - jnp.asarray(pts_gt), axis=-1)
+    assert float(jnp.median(pt_err)) < 2e-2
 
 
 def test_gather_window_dedups_landmarks():
