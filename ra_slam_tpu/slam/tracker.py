@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ra_slam_tpu.core.camera import PinholeCamera, bilinear_sample, nearest_sample
 from ra_slam_tpu.core.config import TrackingConfig
 from ra_slam_tpu.core.se3 import SE3, exp_se3, log_se3
-from ra_slam_tpu.features.matching import unpack_pm1
+from ra_slam_tpu.features.matching import hamming_matrix
 from ra_slam_tpu.features.orb import NUM_PAIRS, Keypoints
 from ra_slam_tpu.slam.landmarks import Landmarks, add_landmarks, record_observations
 from ra_slam_tpu.slam.pnp import motion_only_gn
@@ -72,10 +72,10 @@ def match_frame_to_map(
     uv_lm, z = cam.project(p_cam)
     proj_ok = lms.valid & (z > 0.05) & cam.in_bounds(uv_lm)
 
-    a = unpack_pm1(kp.desc)  # [F, 256]
-    b = unpack_pm1(lms.desc)  # [M, 256]
-    dot = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
-    dist = (NUM_PAIRS - dot) * 0.5  # [F, M]
+    # packed XOR+popcount Hamming matrix — on TPU this is the Pallas
+    # kernel (`ops/hamming.py`), avoiding the 32x unpack traffic of the
+    # ±1-matmul formulation
+    dist = hamming_matrix(kp.desc, lms.desc)  # [F, M] float32
 
     d2 = jnp.sum(
         (kp.uv[:, None, :] - uv_lm[None, :, :]) ** 2, axis=-1
