@@ -66,7 +66,7 @@ def test_facade_gt_pose_fusion_and_queries(tmp_path):
         str(tmp_path / "mesh_indices.bin"),
         str(tmp_path / "mesh_vertices_prob.bin"),
     )
-    assert nv == 3 * nt and nt > 0
+    assert nt > 0 and nv < 3 * nt  # shared-vertex compaction: V ~ T/2
 
 
 def test_facade_resizes_to_tsdf_resolution():
@@ -100,7 +100,7 @@ def test_offline_eval_cli(tmp_path, capsys):
     ])
     assert result["frames"] == 3
     assert result["tsdf_rows"] > 0
-    assert result["mesh_vertices"] == 3 * result["mesh_triangles"]
+    assert 0 < result["mesh_vertices"] < 3 * result["mesh_triangles"]
     for f in ("tsdf.bin", "mesh_vertices.bin", "mesh_indices.bin",
               "mesh_vertices_prob.bin"):
         assert os.path.exists(os.path.join(out_dir, f))

@@ -80,7 +80,10 @@ def test_extract_mesh_wall():
     m = fused_wall_map(3)
     verts, indices, probs = extract_mesh(m, CFG, min_weight=1.5)
     assert len(verts) > 100
-    assert len(verts) == 3 * len(indices)
+    # shared-vertex compaction: each vertex is referenced by several
+    # triangles (V ~ T/2, like the reference's ownership scheme,
+    # /root/reference/utils/tsdf/voxel_tsdf.cu:561-734), not 3T
+    assert len(verts) < len(indices)
     assert probs.shape == (len(verts),)
     # surface near z = 1 (within a voxel of the zero crossing; the
     # acquire prior biases it slightly toward the camera)
@@ -88,7 +91,9 @@ def test_extract_mesh_wall():
     # semantic probs fused toward ht=0.9
     assert probs.mean() > 0.6
     # all triangles reference valid vertices
-    assert indices.max() == len(verts) - 1
+    assert 0 <= indices.min() and indices.max() < len(verts)
+    # no degenerate triangles survive compaction
+    assert (indices[:, 0] != indices[:, 1]).all()
 
 
 def test_mesh_empty_map():
