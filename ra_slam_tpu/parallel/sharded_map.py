@@ -36,9 +36,11 @@ from ra_slam_tpu.core.camera import PinholeCamera
 from ra_slam_tpu.core.config import TsdfConfig
 from ra_slam_tpu.core.se3 import SE3
 from ra_slam_tpu.map.blocks import INVALID_KEY, owner_of
+from ra_slam_tpu.map.hash_table import ht_insert
 from ra_slam_tpu.map.voxel_map import (
     VoxelMap,
     allocate_keys,
+    create_map,
     depth_to_candidate_keys,
     integrate,
     num_active,
@@ -178,3 +180,102 @@ def make_sharded_integrate_step(
     )
     m_sharding = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
     return jax.jit(fn, donate_argnums=(0,), out_shardings=(m_sharding, None))
+
+
+# ---------------------------------------------------------------------------
+# Sharded export: ICI halo/gather collective for meshing, raycast, dumps
+# ---------------------------------------------------------------------------
+
+
+def _gather_shards_body(
+    m: VoxelMap, lcfg: TsdfConfig, cap: int, gcfg: TsdfConfig
+) -> Tuple[VoxelMap, jax.Array]:
+    """Per-shard body: compact the shard's ACTIVE blocks (cumsum-scatter,
+    the same trick as allocation) and `all_gather` them over the mesh
+    axis, then rebuild a compact replicated VoxelMap + fresh hash table.
+
+    This is the cross-shard block exchange SURVEY §5.7/§2.9 calls for:
+    meshing and trilinear raycast read 2x2x2 block neighborhoods
+    (`/root/reference/utils/tsdf/voxel_tsdf.cu:583-586`), and with
+    owner-hash sharding a block's neighbors live on other shards — the
+    gather rides ICI instead of a host `device_get` of the whole pool,
+    and moves only compacted active blocks, not pool capacity.
+    """
+    act = m.active
+    rank = jnp.cumsum(act.astype(jnp.int32)) - 1
+    dest = jnp.where(act & (rank < cap), rank, cap)
+
+    def compact(x, fill):
+        out_shape = (cap,) + x.shape[1:]
+        return jnp.full(out_shape, fill, x.dtype).at[dest].set(x, mode="drop")
+
+    keys = compact(m.block_key, INVALID_KEY)
+    tsdf = compact(m.tsdf, -1.0)
+    weight = compact(m.weight, 0.0)
+    rgb = compact(m.rgb, 0.0)
+    prob = compact(m.prob, 0.5)
+    dropped = num_active(m) - jnp.sum((keys != INVALID_KEY).astype(jnp.int32))
+
+    # the halo-exchange collective: every shard receives every shard's
+    # compacted active blocks (keys are disjoint by ownership)
+    keys_g = jax.lax.all_gather(keys, MAP_AXIS, tiled=True)  # [n*cap]
+    tsdf_g = jax.lax.all_gather(tsdf, MAP_AXIS, tiled=True)
+    weight_g = jax.lax.all_gather(weight, MAP_AXIS, tiled=True)
+    rgb_g = jax.lax.all_gather(rgb, MAP_AXIS, tiled=True)
+    prob_g = jax.lax.all_gather(prob, MAP_AXIS, tiled=True)
+
+    g = create_map(gcfg)
+    total = keys_g.shape[0]
+    pool_idx = jnp.arange(total, dtype=jnp.int32)
+    valid = keys_g != INVALID_KEY
+    table, slots, placed = ht_insert(g.table, keys_g, pool_idx, valid)
+    bidx = jnp.where(placed, pool_idx, g.num_blocks)
+    g = g._replace(
+        table=table,
+        block_key=g.block_key.at[bidx].set(keys_g, mode="drop"),
+        block_slot=g.block_slot.at[bidx].set(slots, mode="drop"),
+        active=g.active.at[bidx].set(True, mode="drop"),
+        tsdf=g.tsdf.at[bidx].set(tsdf_g, mode="drop"),
+        weight=g.weight.at[bidx].set(weight_g, mode="drop"),
+        rgb=g.rgb.at[bidx].set(rgb_g, mode="drop"),
+        prob=g.prob.at[bidx].set(prob_g, mode="drop"),
+    )
+    dropped = jax.lax.psum(dropped, MAP_AXIS) + jnp.sum(
+        (valid & ~placed).astype(jnp.int32)
+    )
+    return g, dropped
+
+
+def make_gather_shards(
+    mesh: Mesh, cfg: TsdfConfig, max_blocks_per_shard: int | None = None
+):
+    """Compile gather(m_sharded) -> (m_replicated_compact, dropped).
+
+    The returned map is a normal `VoxelMap` with `cfg`'s global
+    capacities, identical in content to the union of the shards —
+    `extract_mesh` / `raycast` / `dump_semantic_tsdf` run on it
+    unchanged, so the whole export surface works on a sharded map.
+    `dropped` counts blocks lost to the per-shard cap (0 in-bounds).
+    """
+    n = mesh.shape[MAP_AXIS]
+    lcfg = local_config(cfg, n)
+    cap = max_blocks_per_shard or lcfg.num_blocks
+    gcfg = cfg
+    if n * cap > cfg.num_blocks:  # round shard overprovision back up
+        import dataclasses as _dc
+        import math as _math
+
+        gcfg = _dc.replace(
+            cfg,
+            log2_num_blocks=_math.ceil(_math.log2(n * cap)),
+            log2_hash_size=max(
+                cfg.log2_hash_size, _math.ceil(_math.log2(n * cap)) + 2
+            ),
+        )
+
+    specs = map_partition_specs()
+    body = functools.partial(
+        _gather_shards_body, lcfg=lcfg, cap=cap, gcfg=gcfg
+    )
+    fn = _shard_map(body, mesh=mesh, in_specs=(specs,), out_specs=(P(), P()))
+    return jax.jit(fn), gcfg

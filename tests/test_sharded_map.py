@@ -20,6 +20,7 @@ from ra_slam_tpu.core.se3 import SE3
 from ra_slam_tpu.map import voxel_map as vm
 from ra_slam_tpu.map.blocks import owner_of
 from ra_slam_tpu.parallel import create_sharded_map, make_sharded_integrate_step
+from ra_slam_tpu.parallel.sharded_map import make_gather_shards
 
 
 def _cfg():
@@ -78,6 +79,55 @@ def test_sharded_matches_single_device(n_dev):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_sharded_gather_export_mesh_raycast():
+    """The ICI gather collective replaces `device_get` of the whole
+    sharded pool: meshing and raycast on the gathered map must equal the
+    single-device results (the 2x2x2 neighborhood halo the SURVEY calls
+    out, `/root/reference/utils/tsdf/voxel_tsdf.cu:583-586`)."""
+    from ra_slam_tpu.map.meshing import extract_mesh
+    from ra_slam_tpu.map.raycast import raycast
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("map",))
+    cfg = _cfg()
+    cam, rgb, depth, ht, lt = _frame()
+    pose = SE3.identity()
+
+    ms = create_sharded_map(cfg, mesh)
+    step = make_sharded_integrate_step(mesh, cfg)
+    m1 = vm.create_map(cfg)
+    step1 = jax.jit(functools.partial(vm.integrate_frame, cfg=cfg))
+    for _ in range(2):
+        ms, _ = step(ms, rgb, depth, ht, lt, cam, pose)
+        m1, _ = step1(m1, rgb, depth, ht, lt, cam, pose)
+
+    gather, gcfg = make_gather_shards(mesh, cfg)
+    mg, dropped = gather(ms)
+    assert int(dropped) == 0
+    assert int(vm.num_active(mg)) == int(vm.num_active(m1))
+
+    # semantic dump equality (export parity on the gathered map)
+    a = _canon(vm.gather_valid_semantic(mg, gcfg))
+    b = _canon(vm.gather_valid_semantic(m1, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # mesh equality: same triangle soup modulo ordering
+    va, ia, pa = extract_mesh(mg, gcfg)
+    vb, ib, pb = extract_mesh(m1, cfg)
+    assert va.shape == vb.shape and ia.shape == ib.shape
+    np.testing.assert_allclose(
+        _canon(va), _canon(vb), atol=1e-5
+    )
+
+    # raycast equality on the same virtual view
+    oa = raycast(mg, cam, pose, gcfg, grid_extent=64)
+    ob = raycast(m1, cam, pose, cfg, grid_extent=64)
+    np.testing.assert_allclose(
+        np.asarray(oa["depth"]), np.asarray(ob["depth"]), atol=1e-5
+    )
+
+
 def test_owner_partition_is_balanced():
     keys = jnp.arange(1, 100001, dtype=jnp.int32)
     owners = np.asarray(owner_of(keys, 8))
@@ -86,6 +136,7 @@ def test_owner_partition_is_balanced():
     assert counts.max() < 1.2 * counts.mean()
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoints():
     import __graft_entry__ as g
 
