@@ -80,6 +80,9 @@ class FeatureConfig:
     num_levels: int = 8
     ini_fast_threshold: int = 20
     min_fast_threshold: int = 7
+    # spatial-binning cell (px) for keypoint distribution; 0 = global
+    # top-k only (the reference's per-cell search, SURVEY.md §2.8)
+    cell_size: int = 32
 
 
 @dataclass(frozen=True)

@@ -71,21 +71,82 @@ def _nms3(score: jax.Array) -> jax.Array:
     return jnp.where(score >= neigh, score, 0.0)
 
 
+def _cell_select(s: jax.Array, max_corners: int, cell: int) -> Tuple[jax.Array, jax.Array]:
+    """Spatially-binned candidate selection: per-cell top-k, then global
+    top-k over the per-cell survivors. Caps how many keypoints one
+    textured region can claim (the reference's per-cell search +
+    quadtree distribution, SURVEY.md §2.8) while staying a pair of
+    static top_k ops. Returns (vals [K], flat_idx [K])."""
+    H, W = s.shape
+    Hp = ((H + cell - 1) // cell) * cell
+    Wp = ((W + cell - 1) // cell) * cell
+    sp = jnp.zeros((Hp, Wp), s.dtype).at[:H, :W].set(s)
+    gy, gx = Hp // cell, Wp // cell
+    ncells = gy * gx
+    # [gy, cell, gx, cell] -> [ncells, cell*cell]
+    cells = sp.reshape(gy, cell, gx, cell).transpose(0, 2, 1, 3).reshape(
+        ncells, cell * cell
+    )
+    k_cell = min(max(4 * max_corners // max(ncells, 1), 1), cell * cell)
+    cv, ci = jax.lax.top_k(cells, k_cell)  # [ncells, k_cell]
+    # cell-local index -> padded-image flat index -> original flat index
+    cy = jnp.arange(ncells, dtype=jnp.int32)[:, None] // gx
+    cx = jnp.arange(ncells, dtype=jnp.int32)[:, None] % gx
+    py = cy * cell + ci // cell
+    px = cx * cell + ci % cell
+    inb = (py < H) & (px < W)
+    flat = jnp.where(inb, py * W + px, 0)
+    cv = jnp.where(inb, cv, 0.0)
+    # rank-major selection: the best corner of EVERY cell outranks any
+    # cell's second-best, so dense texture cannot crowd out sparse cells
+    # (per-cell quota guarantee); score breaks ties within a rank.
+    rank = jnp.broadcast_to(
+        jnp.arange(k_cell, dtype=jnp.float32)[None], cv.shape
+    )
+    key = jnp.where(cv > 0.0, cv - rank * 1e7, -jnp.inf)
+    keyvals, order = jax.lax.top_k(key.reshape(-1), max_corners)
+    vals = jnp.where(
+        jnp.isfinite(keyvals), cv.reshape(-1)[order], 0.0
+    )
+    return vals, flat.reshape(-1)[order]
+
+
 def fast_corners(
     img: jax.Array,
     threshold: float,
     max_corners: int,
+    min_threshold: float = 0.0,
+    cell_size: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Detect up to `max_corners` FAST corners on one image.
 
-    Returns (uv [K, 2] float32, score [K], valid [K] bool) — fixed K,
-    selected by global top-k score after 3x3 NMS.
+    Returns (uv [K, 2] float32, score [K], valid [K] bool) — fixed K.
+    With `min_threshold` > 0, cells (of `cell_size`, or the whole image)
+    that yield no corner at `threshold` fall back to the lower threshold
+    — OpenVSLAM's ini 20 / min 7 two-threshold semantics (SURVEY.md
+    §2.8), evaluated as two dense passes + a per-cell select instead of
+    per-cell control flow. With `cell_size` > 0, selection is spatially
+    binned (per-cell top-k) to avoid keypoint clumping.
     """
     H, W = img.shape
     raw = fast_score(img, threshold)
+    if min_threshold > 0.0 and min_threshold < threshold:
+        raw_min = fast_score(img, min_threshold)
+        cell = cell_size if cell_size > 0 else max(H, W)
+        # per-cell "any ini-threshold corner?" via max-pool over the cell
+        has_ini = jax.lax.reduce_window(
+            raw, 0.0, jax.lax.max,
+            (cell, cell), (cell, cell), "SAME",
+        )  # [ceil(H/c), ceil(W/c)]
+        has_ini = jnp.repeat(
+            jnp.repeat(has_ini > 0.0, cell, axis=0), cell, axis=1
+        )[:H, :W]
+        raw = jnp.where(has_ini, raw, raw_min)
     s = _nms3(raw)
-    flat = s.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_corners)
+    if cell_size > 0:
+        vals, idx = _cell_select(s, max_corners, cell_size)
+    else:
+        vals, idx = jax.lax.top_k(s.reshape(-1), max_corners)
     ui = (idx % W).astype(jnp.int32)
     vi = (idx // W).astype(jnp.int32)
     valid = vals > 0.0

@@ -152,7 +152,11 @@ def detect_and_describe(
     all_parts = []
     for lvl, (img, quota) in enumerate(zip(levels, quotas)):
         s = cfg.scale_factor**lvl
-        uv, score, valid = fast_corners(img, float(cfg.ini_fast_threshold), quota)
+        uv, score, valid = fast_corners(
+            img, float(cfg.ini_fast_threshold), quota,
+            min_threshold=float(cfg.min_fast_threshold),
+            cell_size=int(cfg.cell_size),
+        )
         blur = gaussian_blur(img)
         ang = orientation(img, uv)
         desc = orb_descriptors(blur, uv, ang)

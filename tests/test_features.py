@@ -47,6 +47,65 @@ def test_fast_empty_on_flat_image():
     assert int(valid.sum()) == 0
 
 
+def test_fast_two_threshold_fallback():
+    """Low-contrast corners (amplitude ~12) are invisible at the ini
+    threshold 20 but must be recovered through the min-threshold 7
+    fallback (OpenVSLAM ini/min semantics, SURVEY.md §2.8)."""
+    img, corners = _square_image()
+    img = img * 0.1  # squares now +12 over background
+    uv0, _, valid0 = fast_corners(img, 20.0, 64)
+    assert int(valid0.sum()) == 0
+    uv1, _, valid1 = jax.jit(
+        lambda im: fast_corners(im, 20.0, 64, min_threshold=7.0)
+    )(img)
+    uv_v = np.asarray(uv1)[np.asarray(valid1)].astype(int)
+    assert len(uv_v) >= 8
+    for u, v in uv_v:
+        d = min(abs(u - eu) + abs(v - ev) for eu, ev in corners)
+        assert d <= 3
+
+
+def test_fast_fallback_is_per_cell():
+    """A strong corner in one cell must not disable the fallback in a
+    weak-texture cell elsewhere, and strong cells keep the high
+    threshold (no weak duplicates next to strong corners)."""
+    img = np.random.default_rng(1).normal(0, 1, (128, 128)).astype(np.float32)
+    img[20:34, 20:34] += 120.0  # strong square, top-left cell
+    img[90:104, 90:104] += 12.0  # weak square, bottom-right cell
+    uv, _, valid = fast_corners(
+        jnp.asarray(img), 20.0, 64, min_threshold=7.0, cell_size=32
+    )
+    uv_v = np.asarray(uv)[np.asarray(valid)]
+    near_weak = np.abs(uv_v - np.array([90.0, 90.0])).max(1) < 20
+    near_strong = np.abs(uv_v - np.array([20.0, 20.0])).max(1) < 20
+    assert near_weak.any(), "weak-cell corners lost without fallback"
+    assert near_strong.any()
+
+
+def test_fast_spatial_binning_spreads_keypoints():
+    """Dense texture in one quadrant must not crowd out a lone corner
+    elsewhere when selection is binned."""
+    rng = np.random.default_rng(2)
+    img = np.zeros((128, 128), np.float32)
+    img[:64, :64] = rng.uniform(0, 255, (64, 64))  # super-textured quadrant
+    img[96:110, 96:110] = 200.0  # a single square far away
+    K = 32
+    uv_g, _, val_g = fast_corners(jnp.asarray(img), 20.0, K)
+    uv_b, _, val_b = fast_corners(jnp.asarray(img), 20.0, K, cell_size=32)
+
+    def far_hits(uv, valid):
+        pts = np.asarray(uv)[np.asarray(valid)]
+        return (pts.min(1) > 90).sum() if len(pts) else 0
+
+    assert far_hits(uv_b, val_b) >= 2, "binning lost the isolated corner"
+    # binned selection covers at least as many distinct cells
+    def cells(uv, valid):
+        pts = (np.asarray(uv)[np.asarray(valid)] // 32).astype(int)
+        return {tuple(p) for p in pts}
+
+    assert len(cells(uv_b, val_b)) >= len(cells(uv_g, val_g))
+
+
 def test_orientation_points_to_bright_side():
     img = np.zeros((64, 64), np.float32)
     img[:, 40:] = 200.0  # bright on +x side
