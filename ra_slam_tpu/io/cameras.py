@@ -114,3 +114,57 @@ class ZedNativeCamera:
 
     def close(self) -> None:
         self.cap.release()
+
+
+class ZedDepthCamera:
+    """ZED-SDK-style stereo RGB-D: raw UVC stereo capture + on-device
+    dense census disparity, returning (stereo pair, RGB-D frame) like
+    `ZED::GetStereoAndRGBDFrame` (`/root/reference/cameras/zed.h:9-42`)
+    — with `features/stereo.dense_stereo_depth` playing the SDK's depth
+    engine on the TPU instead of CUDA.
+    """
+
+    def __init__(
+        self,
+        rectifier,
+        focal_x_baseline: float,
+        device_id: int = 0,
+        width: int = 1344,
+        height: int = 376,
+        fps: int = 60,
+        max_disparity: int = 64,
+        max_depth: float = 10.0,
+    ):
+        import functools
+
+        import jax
+
+        from ra_slam_tpu.features.pyramid import rgb_to_gray
+        from ra_slam_tpu.features.stereo import dense_stereo_depth
+
+        self.cam = ZedNativeCamera(rectifier, device_id, width, height, fps)
+
+        def _depth(left_rgb, right_rgb):
+            gl = rgb_to_gray(left_rgb)
+            gr = rgb_to_gray(right_rgb)
+            d, ok = dense_stereo_depth(
+                gl, gr, focal_x_baseline,
+                max_disparity=max_disparity, max_depth=max_depth,
+            )
+            return d
+
+        self._depth = jax.jit(_depth)
+
+    def get_stereo_and_rgbd_frame(self):
+        """((left, right, t_stereo), (rgb, depth, t_rgbd)): the stereo
+        pair feeds tracking, left+dense-depth feeds the TSDF."""
+        import numpy as np
+
+        left, right, ts = self.cam.get_stereo_frame()
+        l32 = np.asarray(left, np.float32)
+        r32 = np.asarray(right, np.float32)
+        depth = np.asarray(self._depth(l32, r32))
+        return (left, right, ts), (left, depth, ts)
+
+    def close(self) -> None:
+        self.cam.close()

@@ -169,3 +169,48 @@ def make_train_step(net, optimizer):
         return params, opt_state, loss
 
     return step
+
+
+def _bench(argv=None) -> dict:
+    """Segmentation inference micro-benchmark — the reference's
+    1000-iteration timing harness
+    (`/root/reference/examples/segmentation_inference/main.cc:48-60`).
+
+        python -m ra_slam_tpu.models.segmentation --iters 1000
+    """
+    import argparse
+    import json
+    import time
+
+    p = argparse.ArgumentParser(description="segmentation latency bench")
+    p.add_argument("--model", default=None, help="checkpoint (None = random init)")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--iters", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    eng = InferenceEngine(
+        args.model or "__random__", width=args.width, height=args.height
+    )
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (args.height, args.width, 3), dtype=np.uint8)
+
+    ht, lt = eng.infer_one(rgb)  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        ht, lt = eng.infer_one(rgb)
+    dt = (time.perf_counter() - t0) / args.iters
+    out = {
+        "metric": "segmentation_latency_ms",
+        "value": round(dt * 1e3, 3),
+        "fps": round(1.0 / dt, 1),
+        "iters": args.iters,
+        "shape": [args.height, args.width],
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    _bench()
