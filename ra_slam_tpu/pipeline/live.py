@@ -23,53 +23,101 @@ import time
 
 
 def run(system, stereo_cam, rgbd_cam, out_dir=None, render_every_s=2.0,
-        stop_after_s=None):
-    """The reference's `run()` thread layout (`live_camera.cc:16-38`)."""
+        stop_after_s=None, stop_after_frames=None):
+    """The reference's `run()` thread layout (`live_camera.cc:16-38`).
+
+    Camera threads are non-daemon and joined on shutdown so no thread is
+    killed mid-JAX-dispatch at interpreter exit; camera `get_*` calls
+    must return (or raise) in bounded time — real drivers have capture
+    timeouts, test fakes return immediately. A camera exception stops
+    the whole session cleanly. Returns (previews, slam_frames,
+    tsdf_frames).
+    """
     stop = threading.Event()
+    counts = {"slam": 0, "tsdf": 0}
+    errors: list = []
 
-    def t_slam():
-        while not stop.is_set():
-            left, right, ts = stereo_cam.get_stereo_frame()
-            system.feed_stereo_frame(left, right, ts)
+    def loop(name, get, feed):
+        try:
+            while not stop.is_set():
+                frame = get()
+                if stop.is_set():
+                    break
+                feed(*frame)
+                counts[name] += 1
+                if (
+                    stop_after_frames is not None
+                    and counts[name] >= stop_after_frames
+                ):
+                    break
+        except Exception as e:  # pragma: no cover - hardware faults
+            errors.append((name, e))
+        finally:
+            stop_if_done()
 
-    def t_tsdf():
-        while not stop.is_set():
-            rgb, depth, ts = rgbd_cam.get_rgbd_frame()
-            system.feed_rgbd_frame(rgb, depth, ts)
+    def stop_if_done():
+        if errors or (
+            stop_after_frames is not None
+            and counts["slam"] >= stop_after_frames
+            and counts["tsdf"] >= stop_after_frames
+        ):
+            stop.set()
 
     threads = [
-        threading.Thread(target=t_slam, daemon=True),
-        threading.Thread(target=t_tsdf, daemon=True),
+        threading.Thread(
+            target=loop, name="t_slam",
+            args=("slam", stereo_cam.get_stereo_frame,
+                  system.feed_stereo_frame),
+        ),
+        threading.Thread(
+            target=loop, name="t_tsdf",
+            args=("tsdf", rgbd_cam.get_rgbd_frame, system.feed_rgbd_frame),
+        ),
     ]
     for t in threads:
         t.start()
 
+    def render_preview(i):
+        pose = system.slam.pose_buffer.latest() if system.slam else None
+        if pose is None or not out_dir:
+            return False
+        import cv2
+        import numpy as np
+
+        out = system.render(pose)
+        os.makedirs(out_dir, exist_ok=True)
+        cv2.imwrite(
+            os.path.join(out_dir, f"live_{i:05d}.png"),
+            cv2.cvtColor(
+                np.asarray(out["rgba"], np.uint8), cv2.COLOR_RGBA2BGRA
+            ),
+        )
+        return True
+
     t0 = time.monotonic()
+    last_render = t0
     i = 0
     try:
-        while not stop.is_set():
-            time.sleep(render_every_s)
-            pose = system.slam.pose_buffer.latest() if system.slam else None
-            if pose is not None and out_dir:
-                import cv2
-                import numpy as np
-
-                out = system.render(pose)
-                os.makedirs(out_dir, exist_ok=True)
-                cv2.imwrite(
-                    os.path.join(out_dir, f"live_{i:05d}.png"),
-                    cv2.cvtColor(
-                        np.asarray(out["rgba"], np.uint8), cv2.COLOR_RGBA2BGRA
-                    ),
-                )
-                i += 1
-            if stop_after_s and time.monotonic() - t0 > stop_after_s:
+        while not stop.is_set() and any(t.is_alive() for t in threads):
+            time.sleep(0.05)
+            now = time.monotonic()
+            if now - last_render >= render_every_s:
+                last_render = now
+                i += int(render_preview(i))
+            if stop_after_s and now - t0 > stop_after_s:
                 break
     except KeyboardInterrupt:
         pass
     finally:
         stop.set()
-    return i
+        for t in threads:
+            t.join(timeout=30.0)
+    if i == 0:  # session ended before the first render tick
+        i += int(render_preview(0))
+    if errors:
+        name, e = errors[0]
+        raise RuntimeError(f"camera thread '{name}' failed: {e}") from e
+    return i, counts["slam"], counts["tsdf"]
 
 
 def main(argv=None):
@@ -97,10 +145,10 @@ def main(argv=None):
     stereo = ZedNativeCamera(rectifier, device_id=args.zed_device)
     rgbd = RealSenseCamera()
     try:
-        n = run(system, stereo, rgbd, out_dir=args.out,
-                stop_after_s=args.duration)
-        print(f"live session done: {system.num_integrated} frames fused, "
-              f"{n} previews")
+        n, n_slam, n_tsdf = run(system, stereo, rgbd, out_dir=args.out,
+                                stop_after_s=args.duration)
+        print(f"live session done: {system.num_integrated} frames fused "
+              f"({n_slam} tracked / {n_tsdf} rgbd), {n} previews")
     finally:
         stereo.close()
         rgbd.close()

@@ -13,6 +13,7 @@ from ra_slam_tpu.pipeline.live import run
 from ra_slam_tpu.pipeline.system import RaSlamSystem
 
 from test_stereo import _stereo_pair, BASELINE, FXB, SPEC
+import pytest
 
 
 class FakeStereoCam:
@@ -28,10 +29,25 @@ class FakeStereoCam:
 
 
 class FakeRGBDCam:
-    def __init__(self):
+    """Depth camera fake; waits for the first tracked pose so the
+    mapper thread overlaps tracking (a real rig runs for minutes — the
+    pre-initialization frames it drops are not what this test is
+    about)."""
+
+    def __init__(self, system=None):
         self.i = 0
+        self.system = system
 
     def get_rgbd_frame(self):
+        if self.system is not None and self.i == 0:
+            import time
+
+            t0 = time.monotonic()
+            while (
+                len(self.system.slam.pose_buffer) == 0
+                and time.monotonic() - t0 < 120.0
+            ):
+                time.sleep(0.05)
         eye = (0.3 - 0.01 * self.i, 0.005 * self.i, 0.01 * self.i)
         rgb, _, depth, _ = _stereo_pair(eye)[0], None, _stereo_pair(eye)[2], None
         ts = self.i / 30.0 + 0.004  # slightly offset clock, like a real rig
@@ -39,6 +55,7 @@ class FakeRGBDCam:
         return rgb, depth, ts
 
 
+@pytest.mark.slow
 def test_live_run_threads(tmp_path):
     cfg = SystemConfig(
         camera=CameraConfig(
@@ -58,14 +75,17 @@ def test_live_run_threads(tmp_path):
     )
     system = RaSlamSystem(cfg, segmentation_model=None)
 
-    n_previews = run(
-        system, FakeStereoCam(), FakeRGBDCam(),
-        out_dir=str(tmp_path), render_every_s=1.5, stop_after_s=12.0,
+    # frame-count stop condition (not wall-clock: load-insensitive), and
+    # non-daemon threads joined before return — no mid-dispatch teardown
+    n_previews, n_slam, n_tsdf = run(
+        system, FakeStereoCam(), FakeRGBDCam(system),
+        out_dir=str(tmp_path), render_every_s=1.0, stop_after_frames=8,
     )
     # both loops made progress: poses registered and frames fused
+    assert n_slam >= 8 and n_tsdf >= 8
     assert len(system.slam.pose_buffer) > 0
     assert system.num_integrated > 0
-    assert n_previews >= 1
     import os
 
+    assert n_previews >= 1
     assert any(f.startswith("live_") for f in os.listdir(tmp_path))
