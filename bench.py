@@ -1,14 +1,18 @@
-"""Headline benchmark: TSDF-fused frames per second on one chip.
+"""Headline benchmark suite on one chip.
 
-Workload mirrors the reference's primary metric path
-(`/root/reference/main/offline_eval.cc:54-57`: 640x480 RGB-D fusion at
-1 cm voxels, 6 cm truncation, 6 m max depth) on a synthetic box-room
-orbit with exact GT poses/depth. Target (BASELINE.json north star):
->= 30 fused frames/s/chip.
+Primary metric (the driver's JSON line): TSDF-fused frames/s, mirroring
+the reference's metric path (`/root/reference/main/offline_eval.cc:54-57`:
+640x480 RGB-D fusion, 1 cm voxels, 6 cm truncation). Target
+(BASELINE.json north star): >= 30 fused frames/s/chip.
+
+The same line carries the whole-system numbers the reference only
+instruments (BASELINE.md): tracked-SLAM frames/s (detect + track + BA on
+the device), raycast frames/s at 640x480, mesh-extraction wall time, and
+descriptor-matching latency (the Pallas Hamming kernel on TPU).
 
 Prints ONE JSON line:
   {"metric": "fused_frames_per_sec_per_chip", "value": N,
-   "unit": "frames/s", "vs_baseline": N/30}
+   "unit": "frames/s", "vs_baseline": N/30, "extra": {...}}
 """
 
 import functools
@@ -17,13 +21,106 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def bench_fusion(frames, cam, poses, cfg):
+    from ra_slam_tpu.map.voxel_map import create_map, integrate_frame
+
+    rgbs = [jnp.asarray(f.rgb, jnp.float32) for f in frames]
+    depths = [jnp.asarray(f.depth) for f in frames]
+    hts = [jnp.asarray(f.ht) for f in frames]
+    lts = [jnp.asarray(f.lt) for f in frames]
+
+    step = jax.jit(
+        functools.partial(integrate_frame, cfg=cfg, alloc_stride=2),
+        donate_argnums=(0,),
+    )
+    m = create_map(cfg)
+    m, stats = step(m, rgbs[0], depths[0], hts[0], lts[0], cam, poses[0])
+    jax.block_until_ready(m.tsdf)
+
+    m = create_map(cfg)
+    t0 = time.perf_counter()
+    for i in range(len(frames)):
+        m, stats = step(m, rgbs[i], depths[i], hts[i], lts[i], cam, poses[i])
+    jax.block_until_ready(m.tsdf)
+    dt = time.perf_counter() - t0
+    assert int(stats["alloc_failures"]) == 0, "allocation overflow during bench"
+    return len(frames) / dt, m
+
+
+def bench_tracking(ds, n_frames):
+    """Full sparse-SLAM rate: ORB detect + track + keyframes + BA."""
+    from ra_slam_tpu.core.config import FeatureConfig, TrackingConfig
+    from ra_slam_tpu.slam.system import SlamSystem
+
+    sys_ = SlamSystem(
+        ds.camera,
+        fcfg=FeatureConfig(max_num_keypoints=1000, num_levels=4),
+        tcfg=TrackingConfig(min_inliers=15, match_radius=30.0),
+        ba_window=6, ba_max_points=2048, ba_iterations=5,
+    )
+    frames = [ds.frame(i) for i in range(n_frames)]
+    # warmup: first frames compile detect/track/insert/BA paths
+    for f in frames[:3]:
+        sys_.feed_rgbd_frame(f.rgb, f.depth, f.timestamp, frame_id=f.frame_id)
+    t0 = time.perf_counter()
+    tracked = 0
+    for f in frames[3:]:
+        info = sys_.feed_rgbd_frame(
+            f.rgb, f.depth, f.timestamp, frame_id=f.frame_id
+        )
+        tracked += int(info.tracked)
+    dt = time.perf_counter() - t0
+    assert tracked == n_frames - 3, f"tracking lost ({tracked})"
+    return (n_frames - 3) / dt
+
+
+def bench_raycast(m, cam, pose, cfg, iters=15):
+    from ra_slam_tpu.map.raycast import raycast
+
+    rc = jax.jit(functools.partial(raycast, cam=cam, cfg=cfg))
+    out = rc(m, cam_T_world=pose)
+    jax.block_until_ready(out["depth"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = rc(m, cam_T_world=pose)
+    jax.block_until_ready(out["depth"])
+    return iters / (time.perf_counter() - t0)
+
+
+def bench_meshing(m, cfg):
+    from ra_slam_tpu.map.meshing import extract_mesh
+
+    t0 = time.perf_counter()
+    verts, idx, probs = extract_mesh(m, cfg)
+    dt = time.perf_counter() - t0
+    return dt, len(verts), len(idx)
+
+
+def bench_matching(iters=30):
+    """Pallas Hamming-matrix latency, 1000 query x 20000 database
+    descriptors (tracking + loop-retrieval hot op)."""
+    from ra_slam_tpu.features.matching import hamming_matrix
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2**32, (1000, 8), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, (20000, 8), dtype=np.uint32))
+    fn = jax.jit(hamming_matrix)
+    out = fn(a, b)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(a, b)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
 def main():
     from ra_slam_tpu.core.config import TsdfConfig
     from ra_slam_tpu.core.se3 import SE3
     from ra_slam_tpu.io.synthetic import SyntheticBoxDataset, SyntheticCameraSpec
-    from ra_slam_tpu.map.voxel_map import create_map, integrate_frame
 
     n_frames = 60
     spec = SyntheticCameraSpec(
@@ -44,41 +141,39 @@ def main():
         height=480,
     )
     cam = ds.camera
-
-    # host-side decode (plays the role of the reference's dataset reader)
     frames = [ds.frame(i) for i in range(n_frames)]
-    rgbs = [jnp.asarray(f.rgb, jnp.float32) for f in frames]
-    depths = [jnp.asarray(f.depth) for f in frames]
-    hts = [jnp.asarray(f.ht) for f in frames]
-    lts = [jnp.asarray(f.lt) for f in frames]
     poses = [SE3.from_matrix(jnp.asarray(f.cam_T_world)) for f in frames]
 
-    step = jax.jit(
-        functools.partial(integrate_frame, cfg=cfg, alloc_stride=2),
-        donate_argnums=(0,),
+    fused_fps, m = bench_fusion(frames, cam, poses, cfg)
+    raycast_fps = bench_raycast(m, cam, poses[0], cfg)
+    mesh_s, n_verts, n_tris = bench_meshing(m, cfg)
+    match_ms = bench_matching()
+
+    track_ds = SyntheticBoxDataset(
+        num_frames=120,
+        cam=SyntheticCameraSpec(
+            fx=160.0, fy=160.0, cx=159.5, cy=119.5, width=320, height=240
+        ),
+        radius=1.0,
     )
+    slam_fps = bench_tracking(track_ds, 30)
 
-    # warmup / compile
-    m = create_map(cfg)
-    m, stats = step(m, rgbs[0], depths[0], hts[0], lts[0], cam, poses[0])
-    jax.block_until_ready(m.tsdf)
-
-    m = create_map(cfg)
-    t0 = time.perf_counter()
-    for i in range(n_frames):
-        m, stats = step(m, rgbs[i], depths[i], hts[i], lts[i], cam, poses[i])
-    jax.block_until_ready(m.tsdf)
-    dt = time.perf_counter() - t0
-
-    fps = n_frames / dt
-    assert int(stats["alloc_failures"]) == 0, "allocation overflow during bench"
     print(
         json.dumps(
             {
                 "metric": "fused_frames_per_sec_per_chip",
-                "value": round(fps, 2),
+                "value": round(fused_fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 3),
+                "vs_baseline": round(fused_fps / 30.0, 3),
+                "extra": {
+                    "tracked_slam_fps": round(slam_fps, 2),
+                    "raycast_fps_640x480": round(raycast_fps, 2),
+                    "mesh_extract_s": round(mesh_s, 3),
+                    "mesh_vertices": n_verts,
+                    "mesh_triangles": n_tris,
+                    "hamming_1000x20000_ms": round(match_ms, 3),
+                    "backend": jax.default_backend(),
+                },
             }
         )
     )

@@ -32,3 +32,32 @@ utils     timing, logging, pose buffer
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt out: RA_SLAM_NO_CACHE=1).
+
+    First-compile latency dominates short runs on the remote TPU
+    (20-60 s per jitted step over the tunnel); the on-disk cache makes
+    every later process start warm. Safe on all backends; keyed by HLO
+    + compile options, so config changes never hit stale entries.
+    """
+    import os
+
+    if os.environ.get("RA_SLAM_NO_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
