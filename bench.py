@@ -17,11 +17,20 @@ Prints ONE JSON line:
 
 import functools
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _mark(msg):
+    """Progress marker on stderr (stdout stays one JSON line)."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.monotonic()
 
 
 def bench_fusion(frames, cam, poses, cfg):
@@ -144,10 +153,15 @@ def main():
     frames = [ds.frame(i) for i in range(n_frames)]
     poses = [SE3.from_matrix(jnp.asarray(f.cam_T_world)) for f in frames]
 
+    _mark("fusion: compile + 60 frames")
     fused_fps, m = bench_fusion(frames, cam, poses, cfg)
+    _mark(f"fusion done ({fused_fps:.1f} f/s); raycast")
     raycast_fps = bench_raycast(m, cam, poses[0], cfg)
+    _mark(f"raycast done ({raycast_fps:.1f} f/s); meshing")
     mesh_s, n_verts, n_tris = bench_meshing(m, cfg)
+    _mark(f"meshing done ({mesh_s:.2f}s); matching")
     match_ms = bench_matching()
+    _mark(f"matching done ({match_ms:.2f} ms); tracking")
 
     track_ds = SyntheticBoxDataset(
         num_frames=120,
@@ -157,6 +171,7 @@ def main():
         radius=1.0,
     )
     slam_fps = bench_tracking(track_ds, 30)
+    _mark(f"tracking done ({slam_fps:.1f} f/s)")
 
     print(
         json.dumps(

@@ -35,16 +35,17 @@ __version__ = "0.1.0"
 
 
 def _enable_compilation_cache() -> None:
-    """Persistent XLA compilation cache (opt out: RA_SLAM_NO_CACHE=1).
+    """Persistent XLA compilation cache (opt IN: RA_SLAM_CACHE=1).
 
-    First-compile latency dominates short runs on the remote TPU
-    (20-60 s per jitted step over the tunnel); the on-disk cache makes
-    every later process start warm. Safe on all backends; keyed by HLO
-    + compile options, so config changes never hit stale entries.
+    First-compile latency dominates short runs; the on-disk cache makes
+    later processes start warm on CPU/standard-TPU backends. Opt-in
+    because the remote-tunnel ("axon") TPU backend hangs serializing
+    large executables into the cache (measured: the fusion step
+    compiles in ~21 s without the cache and stalls >6 min with it).
     """
     import os
 
-    if os.environ.get("RA_SLAM_NO_CACHE"):
+    if not os.environ.get("RA_SLAM_CACHE"):
         return
     import jax
 
