@@ -71,17 +71,19 @@ def bench_tracking(ds, n_frames):
         ba_window=6, ba_max_points=2048, ba_iterations=5,
     )
     frames = [ds.frame(i) for i in range(n_frames)]
-    # warmup: first frames compile detect/track/insert/BA paths
+    # warmup: the fused frame step compiles every branch on first call
     for f in frames[:3]:
-        sys_.feed_rgbd_frame(f.rgb, f.depth, f.timestamp, frame_id=f.frame_id)
-    t0 = time.perf_counter()
-    tracked = 0
-    for f in frames[3:]:
-        info = sys_.feed_rgbd_frame(
+        sys_.feed_rgbd_frame(
             f.rgb, f.depth, f.timestamp, frame_id=f.frame_id
-        )
-        tracked += int(info.tracked)
+        ).block()
+    t0 = time.perf_counter()
+    infos = [
+        sys_.feed_rgbd_frame(f.rgb, f.depth, f.timestamp, frame_id=f.frame_id)
+        for f in frames[3:]
+    ]
+    infos[-1].block()  # one sync at the end: timing covers all dispatches
     dt = time.perf_counter() - t0
+    tracked = sum(int(i.tracked) for i in infos)
     assert tracked == n_frames - 3, f"tracking lost ({tracked})"
     return (n_frames - 3) / dt
 

@@ -5,18 +5,26 @@ OpenVSLAM (`/root/reference/modules/slam_module.h:20-52`): per-frame it
 extracts ORB features, tracks against the landmark map, decides
 keyframes, and runs windowed Schur-complement BA after each insertion —
 the roles OpenVSLAM splits across its tracking and local-mapping
-threads. Here each stage is one jitted device step and the host loop is
-just orchestration: XLA's async dispatch overlaps the stages without
-explicit threads.
+threads.
+
+TPU dispatch discipline: the whole per-frame decision tree
+(track → relocalize? → keyframe? → BA? → loop close? → global BA?) is
+ONE jitted device step with every branch under `lax.cond`, and the host
+never reads a device scalar on the hot path. Per frame the host enqueues
+two XLA computations (ORB detect, frame step) and returns a *lazy*
+`FrameInfo`; nothing blocks until someone actually inspects a result.
+Over a remote-TPU link (one blocking readback ≈ one RTT) this is the
+difference between ~1 frame/s and device-bound throughput.
 
 Feedback semantics mirror `feed_RGBD_images_w_feedback`
 (`/root/reference/modules/slam_module.cc:165-185`): every processed
-frame returns (pose, tracked_ok), and only tracked poses are registered
+frame yields (pose, tracked_ok), and only tracked poses are registered
 in the pose buffer for the mapper to query.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 
@@ -35,12 +43,7 @@ from ra_slam_tpu.slam.ba import (
     local_bundle_adjustment,
 )
 from ra_slam_tpu.slam.keyframes import Keyframes, create_keyframes, insert_keyframe
-from ra_slam_tpu.slam.loop_closure import (
-    LoopCandidate,
-    RelocResult,
-    detect_loop,
-    relocalize,
-)
+from ra_slam_tpu.slam.loop_closure import detect_loop, relocalize
 from ra_slam_tpu.slam.pose_graph import (
     PoseGraphEdges,
     add_edge,
@@ -50,7 +53,6 @@ from ra_slam_tpu.slam.pose_graph import (
     optimize_pose_graph,
 )
 from ra_slam_tpu.slam.tracker import (
-    TrackResult,
     TrackState,
     create_track_state,
     initialize_from_frame,
@@ -61,119 +63,184 @@ from ra_slam_tpu.utils.pose_buffer import PoseBuffer
 
 
 class SlamState(NamedTuple):
-    """Full sparse-SLAM pytree state (tracker + keyframe database)."""
+    """Full sparse-SLAM pytree state threaded through the fused frame
+    step: tracker + keyframe database + pose graph + per-frame matched
+    statistics (all fixed capacity, all on device)."""
 
     track: TrackState
     kfs: Keyframes
+    edges: PoseGraphEdges
+    n_edges: jax.Array  # int32
+    n_loops: jax.Array  # int32 accepted loop closures
+    n_relocs: jax.Array  # int32 accepted relocalizations
+    # per-frame matched-trajectory statistics, in fed order (reference
+    # frame statistics, `/root/reference/modules/slam_module.cc:38-54`)
+    fs_ref: jax.Array  # [Fc] int32 reference keyframe slot
+    fs_relR: jax.Array  # [Fc, 3, 3] cam_T_keyframe rotation
+    fs_relt: jax.Array  # [Fc, 3]
+    fs_tracked: jax.Array  # [Fc] bool
+    n_frames: jax.Array  # int32
 
 
-class FrameInfo(NamedTuple):
-    """Host-side per-frame feedback (the `_w_feedback` tuple)."""
+@dataclasses.dataclass(frozen=True)
+class StepParams:
+    """Static (compile-time) parameters of the fused frame step."""
 
-    pose: SE3
-    tracked: bool
-    num_inliers: int
-    num_matches: int
-    inserted_keyframe: bool
-    ba_rmse: float
-    loop_closed: bool = False
-    relocalized: bool = False
+    ba_window: int = 8
+    ba_max_points: int = 4096
+    ba_iterations: int = 6
+    ba_every_kf: int = 1
+    loop_every_kf: int = 5
+    loop_min_gap: int = 30
+    loop_min_score: float = 0.05
+    loop_min_inliers: int = 25
+    reloc_min_inliers: int = 20
+    pgo_iterations: int = 8
+    gba_after_loop: bool = True
+    gba_window: int = 16
+    gba_iterations: int = 4
+    gba_sweeps: int = 2
 
 
-def _insert_kf_step(
-    state: SlamState,
-    kp: Keypoints,
-    depth: jax.Array,
-    lm_idx: jax.Array,
-    frame_id: jax.Array,
-    timestamp: jax.Array,
-    cam: PinholeCamera,
-    tcfg: TrackingConfig,
+class _InfoDev(NamedTuple):
+    """Device-side per-frame feedback scalars (pulled lazily)."""
+
+    R: jax.Array  # [3, 3] cam_T_world
+    t: jax.Array  # [3]
+    tracked: jax.Array  # bool
+    num_inliers: jax.Array  # int32
+    num_matches: jax.Array  # int32
+    inserted_keyframe: jax.Array  # bool
+    ba_rmse: jax.Array  # float32 (nan = BA not run)
+    loop_closed: jax.Array  # bool
+    relocalized: jax.Array  # bool
+
+
+class FrameInfo:
+    """Lazy host view of `_InfoDev` (the `_w_feedback` tuple).
+
+    `pose` stays a device SE3 (downstream integrate consumes it without
+    a round-trip); scalar fields sync the whole record once on first
+    access.
+    """
+
+    __slots__ = ("_dev", "_host")
+
+    def __init__(self, dev: _InfoDev):
+        self._dev = dev
+        self._host = None
+
+    def _pull(self) -> _InfoDev:
+        if self._host is None:
+            self._host = jax.device_get(self._dev)
+        return self._host
+
+    @property
+    def pose(self) -> SE3:
+        return SE3(self._dev.R, self._dev.t)
+
+    @property
+    def tracked(self) -> bool:
+        return bool(self._pull().tracked)
+
+    @property
+    def num_inliers(self) -> int:
+        return int(self._pull().num_inliers)
+
+    @property
+    def num_matches(self) -> int:
+        return int(self._pull().num_matches)
+
+    @property
+    def inserted_keyframe(self) -> bool:
+        return bool(self._pull().inserted_keyframe)
+
+    @property
+    def ba_rmse(self) -> float:
+        return float(self._pull().ba_rmse)
+
+    @property
+    def loop_closed(self) -> bool:
+        return bool(self._pull().loop_closed)
+
+    @property
+    def relocalized(self) -> bool:
+        return bool(self._pull().relocalized)
+
+    def block(self) -> "FrameInfo":
+        jax.block_until_ready(self._dev.t)
+        return self
+
+
+# ----------------------------------------------------------------------
+# fused step building blocks (pure, called under trace)
+
+
+def _maybe_add_edge(
+    state: SlamState, ok: jax.Array, i, j, z: SE3, weight
 ) -> SlamState:
-    """Insert the current frame as a keyframe into both databases."""
-    slot = state.track.kf_counter  # insertion slot == counter (contiguous)
-    track, obs_lm = insert_keyframe_landmarks(
-        state.track, kp, depth, lm_idx, cam, tcfg
+    """Append a pose-graph edge iff `ok` and capacity remains."""
+    ok = ok & (state.n_edges < state.edges.capacity)
+    slot = jnp.minimum(state.n_edges, state.edges.capacity - 1)
+    new = add_edge(state.edges, slot, i, j, z, weight)
+    edges = jax.tree.map(
+        lambda a, b: jnp.where(ok, a, b), new, state.edges
     )
-    obs_w = (kp.valid & (obs_lm >= 0)).astype(jnp.float32)
-    kfs = insert_keyframe(
-        state.kfs, slot, track.pose, frame_id, timestamp,
-        obs_lm, kp.uv, obs_w, kp.desc,
+    return state._replace(
+        edges=edges, n_edges=state.n_edges + ok.astype(jnp.int32)
     )
-    return SlamState(track=track, kfs=kfs)
 
 
-def _ba_step(
-    state: SlamState,
-    cam: PinholeCamera,
-    window: int,
-    max_points: int,
-    iterations: int,
-) -> Tuple[SlamState, jax.Array]:
-    """Local BA over the newest window; propagate the correction of the
-    newest keyframe to the tracker's current pose and velocity frame."""
-    kfc = state.track.kf_counter
-    newest = jnp.maximum(kfc - 1, 0)
-    old_kf = SE3(state.kfs.R[newest], state.kfs.t[newest])
-
-    kfs, lms, stats = local_bundle_adjustment(
-        state.kfs, lms=state.track.lms, kf_counter=kfc, cam=cam,
-        window=window, max_points=max_points, iterations=iterations,
-    )
-    new_kf = SE3(kfs.R[newest], kfs.t[newest])
-
-    # cam_T_world composition: current = (current ∘ old_kf⁻¹) ∘ new_kf
-    rel = state.track.pose @ old_kf.inverse()
-    track = state.track._replace(
-        pose=rel @ new_kf,
-        last_kf_pose=new_kf,
-        lms=lms,
-    )
-    return SlamState(track=track, kfs=kfs), stats.rmse_after
-
-
-def _gba_step(
-    state: SlamState,
-    cam: PinholeCamera,
-    window: int,
-    max_points: int,
-    iterations: int,
-    sweeps: int,
-) -> Tuple[SlamState, jax.Array]:
-    """Global BA over all keyframes (post-loop-closure map-wide
-    refinement); propagates the newest-keyframe correction to the
-    tracker's current pose like `_ba_step`."""
-    kfc = state.track.kf_counter
-    newest = jnp.maximum(kfc - 1, 0)
-    old_kf = SE3(state.kfs.R[newest], state.kfs.t[newest])
-
-    kfs, lms, stats = global_bundle_adjustment(
-        state.kfs, state.track.lms, kfc, cam,
-        window=window, max_points=max_points,
-        iterations=iterations, sweeps=sweeps,
-    )
+def _propagate_kf_correction(
+    state: SlamState, old_kf: SE3, kfs: Keyframes, lms
+) -> SlamState:
+    """After an optimizer moved keyframe poses, re-anchor the tracker's
+    current pose on the newest keyframe: current = (current ∘ old⁻¹) ∘ new."""
+    newest = jnp.maximum(state.track.kf_counter - 1, 0)
     new_kf = SE3(kfs.R[newest], kfs.t[newest])
     rel = state.track.pose @ old_kf.inverse()
     track = state.track._replace(
         pose=rel @ new_kf, last_kf_pose=new_kf, lms=lms
     )
-    return SlamState(track=track, kfs=kfs), stats.rmse_after
+    return state._replace(track=track, kfs=kfs)
 
 
-def _reloc_step(
-    state: SlamState,
-    kp: Keypoints,
-    cam: PinholeCamera,
-    tcfg: TrackingConfig,
-    min_inliers: int,
-) -> Tuple[SlamState, RelocResult]:
-    """Attempt relocalization of a lost frame against the keyframe DB;
-    on acceptance the tracker resumes from the recovered pose with zero
-    velocity (OpenVSLAM relocalizer role,
+def _newest_kf(state: SlamState) -> SE3:
+    newest = jnp.maximum(state.track.kf_counter - 1, 0)
+    return SE3(state.kfs.R[newest], state.kfs.t[newest])
+
+
+def _ba_step(state: SlamState, cam, p: StepParams):
+    old_kf = _newest_kf(state)
+    kfs, lms, stats = local_bundle_adjustment(
+        state.kfs, lms=state.track.lms, kf_counter=state.track.kf_counter,
+        cam=cam, window=p.ba_window, max_points=p.ba_max_points,
+        iterations=p.ba_iterations,
+    )
+    return _propagate_kf_correction(state, old_kf, kfs, lms), stats.rmse_after
+
+
+def _gba_step(state: SlamState, cam, p: StepParams):
+    """Map-wide structure refinement (OpenVSLAM's background global BA
+    role, SURVEY.md §2.8)."""
+    old_kf = _newest_kf(state)
+    kfs, lms, stats = global_bundle_adjustment(
+        state.kfs, state.track.lms, state.track.kf_counter, cam,
+        window=p.gba_window, max_points=p.ba_max_points,
+        iterations=p.gba_iterations, sweeps=p.gba_sweeps,
+    )
+    return _propagate_kf_correction(state, old_kf, kfs, lms), stats.rmse_after
+
+
+def _reloc_step(state: SlamState, kp: Keypoints, cam, tcfg, p: StepParams):
+    """Relocalize a lost frame against the keyframe DB; on acceptance the
+    tracker resumes from the recovered pose with zero velocity
+    (OpenVSLAM relocalizer role,
     `/root/reference/modules/slam_module.cc:154-160`)."""
     res = relocalize(
         state.kfs, state.track.lms, kp.desc, kp.valid, kp.uv,
-        state.track.kf_counter, cam, tcfg, min_inliers=min_inliers,
+        state.track.kf_counter, cam, tcfg,
+        min_inliers=p.reloc_min_inliers,
     )
     acc = res.accepted
     track = state.track._replace(
@@ -183,63 +250,197 @@ def _reloc_step(
         velocity=jnp.where(acc, 0.0, state.track.velocity),
         lost=jnp.where(acc, False, state.track.lost),
     )
-    return SlamState(track=track, kfs=state.kfs), res
+    return (
+        state._replace(
+            track=track, n_relocs=state.n_relocs + acc.astype(jnp.int32)
+        ),
+        acc,
+    )
 
 
-def _frame_ref_rel(state: SlamState) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-frame statistics for matched-trajectory export: the reference
-    keyframe slot (newest) and cam_T_keyframe of the current frame.
+def _loop_close_step(state: SlamState, loop, query_slot, p: StepParams):
+    """Add the verified loop edge, optimize the pose graph, propagate the
+    correction to landmarks and the tracker's current pose."""
+    state = _maybe_add_edge(
+        state, jnp.array(True), query_slot, jnp.maximum(loop.cand, 0),
+        loop.rel_pose, 2.0,
+    )
+    old_R, old_t = state.kfs.R, state.kfs.t
+    old_kf = _newest_kf(state)
+    kfs, _stats = optimize_pose_graph(
+        state.kfs, state.edges, state.track.kf_counter,
+        max_nodes=state.kfs.capacity, iterations=p.pgo_iterations,
+    )
+    lms = correct_landmarks(state.track.lms, old_R, old_t, kfs)
+    state = _propagate_kf_correction(state, old_kf, kfs, lms)
+    return state._replace(n_loops=state.n_loops + 1)
 
-    Mirrors OpenVSLAM's per-frame `ref_keyfrm` + relative-pose statistics
-    the reference composes in `SaveMatchedTrajectory`
-    (`/root/reference/modules/slam_module.cc:38-54`)."""
+
+def _record_stats(state: SlamState) -> SlamState:
+    """Write this frame's (ref keyframe, cam_T_keyframe, tracked) row —
+    the statistics `SaveMatchedTrajectory` composes
+    (`/root/reference/modules/slam_module.cc:20-66`)."""
     ref = jnp.maximum(state.track.kf_counter - 1, 0)
     kf = SE3(state.kfs.R[ref], state.kfs.t[ref])
     rel = state.track.pose @ kf.inverse()
-    return ref, rel.R, rel.t
-
-
-def _add_odometry_edge(
-    edges: PoseGraphEdges, slot: jax.Array, kfs: Keyframes, new_slot: jax.Array
-) -> PoseGraphEdges:
-    """Sequential constraint between the two newest keyframes."""
-    prev = jnp.maximum(new_slot - 1, 0)
-    z = odometry_edge(
-        SE3(kfs.R[prev], kfs.t[prev]), SE3(kfs.R[new_slot], kfs.t[new_slot])
+    i = state.n_frames
+    return state._replace(
+        fs_ref=state.fs_ref.at[i].set(ref, mode="drop"),
+        fs_relR=state.fs_relR.at[i].set(rel.R, mode="drop"),
+        fs_relt=state.fs_relt.at[i].set(rel.t, mode="drop"),
+        fs_tracked=state.fs_tracked.at[i].set(
+            ~state.track.lost, mode="drop"
+        ),
+        n_frames=state.n_frames + 1,
     )
-    return add_edge(edges, slot, prev, new_slot, z, weight=1.0)
 
 
-def _loop_close_step(
+def slam_frame_step(
     state: SlamState,
-    edges: PoseGraphEdges,
-    edge_slot: jax.Array,
-    loop: LoopCandidate,
-    query_slot: jax.Array,
-    pgo_iterations: int,
-):
-    """Add the verified loop edge, optimize the pose graph, propagate the
-    correction to landmarks and to the tracker's current pose."""
-    edges = add_edge(
-        edges, edge_slot, query_slot, jnp.maximum(loop.cand, 0),
-        loop.rel_pose, weight=2.0,
-    )
-    old_R, old_t = state.kfs.R, state.kfs.t
-    newest = jnp.maximum(state.track.kf_counter - 1, 0)
-    old_kf = SE3(old_R[newest], old_t[newest])
+    kp: Keypoints,
+    depth: jax.Array,  # [H, W] float32 meters (0 = invalid)
+    fid: jax.Array,  # int32
+    ts: jax.Array,  # float32 seconds
+    pose0: SE3,  # initialization pose (first frame only)
+    cam: PinholeCamera,
+    tcfg: TrackingConfig,
+    p: StepParams,
+) -> Tuple[SlamState, _InfoDev]:
+    """ONE device step for one frame: every per-frame decision the
+    reference spreads over OpenVSLAM's tracking/local-mapping/loop
+    threads, fused behind `lax.cond` so the host never syncs."""
+    nan = jnp.float32(jnp.nan)
+    f, t_ = jnp.array(False), jnp.array(True)
+    i0 = jnp.int32(0)
 
-    kfs, stats = optimize_pose_graph(
-        state.kfs, edges, state.track.kf_counter,
-        max_nodes=state.kfs.capacity, iterations=pgo_iterations,
-    )
-    lms = correct_landmarks(state.track.lms, old_R, old_t, kfs)
+    def init_branch(st: SlamState):
+        track, lm_idx = initialize_from_frame(
+            st.track, kp, depth, cam=cam, pose=pose0, tcfg=tcfg
+        )
+        obs_w = (kp.valid & (lm_idx >= 0)).astype(jnp.float32)
+        kfs = insert_keyframe(
+            st.kfs, jnp.int32(0), track.pose, fid, ts,
+            lm_idx, kp.uv, obs_w, kp.desc,
+        )
+        st = st._replace(track=track, kfs=kfs)
+        st = _record_stats(st)
+        info = _InfoDev(
+            R=track.pose.R, t=track.pose.t, tracked=t_,
+            num_inliers=i0, num_matches=i0, inserted_keyframe=t_,
+            ba_rmse=nan, loop_closed=f, relocalized=f,
+        )
+        return st, info
 
-    new_kf = SE3(kfs.R[newest], kfs.t[newest])
-    rel = state.track.pose @ old_kf.inverse()
-    track = state.track._replace(
-        pose=rel @ new_kf, last_kf_pose=new_kf, lms=lms
+    def track_branch(st: SlamState):
+        track, res = track_frame(st.track, kp, cam=cam, tcfg=tcfg)
+        st = st._replace(track=track)
+
+        st, relocalized = jax.lax.cond(
+            track.lost,
+            lambda s: _reloc_step(s, kp, cam, tcfg, p),
+            lambda s: (s, f),
+            st,
+        )
+
+        def do_kf(s: SlamState):
+            slot = s.track.kf_counter
+            track2, obs_lm = insert_keyframe_landmarks(
+                s.track, kp, depth, res.lm_idx, cam, tcfg
+            )
+            obs_w = (kp.valid & (obs_lm >= 0)).astype(jnp.float32)
+            kfs = insert_keyframe(
+                s.kfs, slot, track2.pose, fid, ts,
+                obs_lm, kp.uv, obs_w, kp.desc,
+            )
+            s = s._replace(track=track2, kfs=kfs)
+            kfc = track2.kf_counter
+
+            # sequential odometry constraint between the two newest kfs
+            prev = jnp.maximum(kfc - 2, 0)
+            new_slot = kfc - 1
+            z = odometry_edge(
+                SE3(kfs.R[prev], kfs.t[prev]),
+                SE3(kfs.R[new_slot], kfs.t[new_slot]),
+            )
+            s = _maybe_add_edge(s, kfc >= 2, prev, new_slot, z, 1.0)
+
+            if p.ba_every_kf == 1:
+                s, ba_rmse = _ba_step(s, cam, p)
+            else:
+                s, ba_rmse = jax.lax.cond(
+                    kfc % p.ba_every_kf == 0,
+                    lambda x: _ba_step(x, cam, p),
+                    lambda x: (x, nan),
+                    s,
+                )
+
+            def do_loop(s2: SlamState):
+                loop = detect_loop(
+                    s2.kfs, s2.track.lms, new_slot, s2.track.kf_counter,
+                    cam=cam, tcfg=tcfg, min_gap=p.loop_min_gap,
+                    min_score=p.loop_min_score,
+                    min_inliers=p.loop_min_inliers,
+                )
+                can = loop.accepted & (s2.n_edges < s2.edges.capacity)
+
+                def close(s3: SlamState):
+                    s4 = _loop_close_step(s3, loop, new_slot, p)
+                    if p.gba_after_loop:
+                        s4, gr = _gba_step(s4, cam, p)
+                    else:
+                        gr = nan
+                    return s4, t_, gr
+
+                return jax.lax.cond(
+                    can, close, lambda s3: (s3, f, nan), s2
+                )
+
+            s, loop_closed, gba_rmse = jax.lax.cond(
+                (kfc % p.loop_every_kf == 0) & (kfc >= 2),
+                do_loop,
+                lambda s2: (s2, f, nan),
+                s,
+            )
+            ba_rmse = jnp.where(jnp.isnan(gba_rmse), ba_rmse, gba_rmse)
+            return s, (t_, ba_rmse, loop_closed)
+
+        st, (inserted, ba_rmse, loop_closed) = jax.lax.cond(
+            res.need_keyframe, do_kf, lambda s: (s, (f, nan, f)), st
+        )
+
+        st = _record_stats(st)
+        info = _InfoDev(
+            R=st.track.pose.R, t=st.track.pose.t,
+            tracked=~st.track.lost,
+            num_inliers=res.num_inliers, num_matches=res.num_matches,
+            inserted_keyframe=inserted, ba_rmse=ba_rmse,
+            loop_closed=loop_closed, relocalized=relocalized,
+        )
+        return st, info
+
+    return jax.lax.cond(
+        state.track.initialized, track_branch, init_branch, state
     )
-    return SlamState(track=track, kfs=kfs), edges, stats.rmse_after
+
+
+def create_slam_state(
+    tcfg: TrackingConfig, num_features: int, max_frames: int
+) -> SlamState:
+    return SlamState(
+        track=create_track_state(tcfg.max_map_points),
+        kfs=create_keyframes(tcfg.max_keyframes, num_features),
+        edges=create_edges(2 * tcfg.max_keyframes),
+        n_edges=jnp.int32(0),
+        n_loops=jnp.int32(0),
+        n_relocs=jnp.int32(0),
+        fs_ref=jnp.zeros((max_frames,), jnp.int32),
+        fs_relR=jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32), (max_frames, 3, 3)
+        ),
+        fs_relt=jnp.zeros((max_frames, 3), jnp.float32),
+        fs_tracked=jnp.zeros((max_frames,), bool),
+        n_frames=jnp.int32(0),
+    )
 
 
 class SlamSystem:
@@ -266,61 +467,32 @@ class SlamSystem:
         gba_sweeps: int = 2,
         focal_x_baseline: float = 0.0,  # fx*b for stereo frames
         max_disparity: int = 64,
+        max_frames: int = 16384,
     ):
         self.cam = cam
         self.tcfg = tcfg
         self.focal_x_baseline = focal_x_baseline
-        self.ba_every_kf = ba_every_kf
-        self.loop_every_kf = loop_every_kf
         self.pose_buffer = PoseBuffer()
+        params = StepParams(
+            ba_window=ba_window, ba_max_points=ba_max_points,
+            ba_iterations=ba_iterations, ba_every_kf=ba_every_kf,
+            loop_every_kf=loop_every_kf, loop_min_gap=loop_min_gap,
+            loop_min_score=loop_min_score,
+            loop_min_inliers=loop_min_inliers,
+            reloc_min_inliers=reloc_min_inliers,
+            pgo_iterations=pgo_iterations, gba_after_loop=gba_after_loop,
+            gba_window=gba_window, gba_iterations=gba_iterations,
+            gba_sweeps=gba_sweeps,
+        )
+        self.params = params
 
         self._detect = jax.jit(
             functools.partial(detect_and_describe, cfg=fcfg)
         )
-        self._track = jax.jit(functools.partial(track_frame, cam=cam, tcfg=tcfg))
-        self._init = jax.jit(
-            functools.partial(initialize_from_frame, cam=cam, tcfg=tcfg)
-        )
-        self._insert = jax.jit(
-            functools.partial(_insert_kf_step, cam=cam, tcfg=tcfg)
-        )
-        self._ba = jax.jit(
-            functools.partial(
-                _ba_step, cam=cam, window=ba_window,
-                max_points=ba_max_points, iterations=ba_iterations,
-            )
+        self._step = jax.jit(
+            functools.partial(slam_frame_step, cam=cam, tcfg=tcfg, p=params)
         )
 
-        self._loop_detect = jax.jit(
-            functools.partial(
-                detect_loop,
-                cam=cam,
-                tcfg=tcfg,
-                min_gap=loop_min_gap,
-                min_score=loop_min_score,
-                min_inliers=loop_min_inliers,
-            )
-        )
-        self._loop_close = jax.jit(
-            functools.partial(_loop_close_step, pgo_iterations=pgo_iterations)
-        )
-        self._add_odo_edge = jax.jit(_add_odometry_edge)
-        self._ref_rel = jax.jit(_frame_ref_rel)
-        self._reloc = jax.jit(
-            functools.partial(
-                _reloc_step, cam=cam, tcfg=tcfg,
-                min_inliers=reloc_min_inliers,
-            )
-        )
-        self.num_relocalizations = 0
-        self.gba_after_loop = gba_after_loop
-        self._gba = jax.jit(
-            functools.partial(
-                _gba_step, cam=cam, window=gba_window,
-                max_points=ba_max_points, iterations=gba_iterations,
-                sweeps=gba_sweeps,
-            )
-        )
         if focal_x_baseline > 0:
             def _stereo(gray_l, gray_r, uv, valid):
                 d, ok = stereo_keypoint_depth(
@@ -335,20 +507,10 @@ class SlamSystem:
 
         from ra_slam_tpu.features.orb import keypoint_capacity
 
-        self.state = SlamState(
-            track=create_track_state(tcfg.max_map_points),
-            kfs=create_keyframes(tcfg.max_keyframes, keypoint_capacity(fcfg)),
+        self.state = create_slam_state(
+            tcfg, keypoint_capacity(fcfg), max_frames
         )
-        self.edges = create_edges(2 * tcfg.max_keyframes)
-        self._n_edges = 0
-        self.num_loop_closures = 0
         self._frames: list[Tuple[int, float]] = []  # (frame_id, timestamp)
-        # per-frame (frame_id, timestamp, ref_kf_slot, rel R 3x3, rel t 3)
-        # for matched-trajectory export (reference frame statistics,
-        # `/root/reference/modules/slam_module.cc:38-54`)
-        self._frame_stats: list[
-            Tuple[int, float, int, np.ndarray, np.ndarray]
-        ] = []
 
     # ------------------------------------------------------------------
     def feed_rgbd_frame(
@@ -399,102 +561,35 @@ class SlamSystem:
     ) -> FrameInfo:
         fid = len(self._frames) if frame_id is None else frame_id
         self._frames.append((fid, timestamp))
+        pose0 = pose_hint if pose_hint is not None else SE3.identity()
 
-        if not bool(self.state.track.initialized):
-            pose0 = pose_hint if pose_hint is not None else SE3.identity()
-            track, lm_idx = self._init(self.state.track, kp, depth_j, pose=pose0)
-            state = SlamState(track=track, kfs=self.state.kfs)
-            # initialize_from_frame bumped the counter; record kf 0 in the db
-            obs_w = (kp.valid & (lm_idx >= 0)).astype(jnp.float32)
-            kfs = insert_keyframe(
-                state.kfs, jnp.int32(0), track.pose, jnp.int32(fid),
-                jnp.float32(timestamp), lm_idx, kp.uv, obs_w, kp.desc,
-            )
-            self.state = SlamState(track=track, kfs=kfs)
-            self.pose_buffer.register(timestamp, track.pose)
-            self._frame_stats.append(
-                (fid, timestamp, 0, np.eye(3, dtype=np.float32),
-                 np.zeros(3, np.float32))
-            )
-            return FrameInfo(track.pose, True, 0, 0, True, 0.0)
-
-        state = self.state
-        track, res = self._track(state.track, kp)
-        state = SlamState(track=track, kfs=state.kfs)
-
-        relocalized = False
-        if bool(track.lost):
-            state, rres = self._reloc(state, kp)
-            if bool(rres.accepted):
-                relocalized = True
-                self.num_relocalizations += 1
-
-        inserted = False
-        loop_closed = False
-        ba_rmse = float("nan")
-        if bool(res.need_keyframe):
-            state = self._insert(
-                state, kp, depth_j, res.lm_idx,
-                jnp.int32(fid), jnp.float32(timestamp),
-            )
-            inserted = True
-            kfc = int(state.track.kf_counter)
-            if kfc >= 2 and self._n_edges < self.edges.capacity:
-                self.edges = self._add_odo_edge(
-                    self.edges, jnp.int32(self._n_edges), state.kfs,
-                    jnp.int32(kfc - 1),
-                )
-                self._n_edges += 1
-            if kfc % self.ba_every_kf == 0:
-                state, rmse = self._ba(state)
-                ba_rmse = float(rmse)
-            if (
-                kfc % self.loop_every_kf == 0
-                and self._n_edges + 1 < self.edges.capacity
-            ):
-                newest = jnp.int32(kfc - 1)
-                loop = self._loop_detect(
-                    state.kfs, state.track.lms, newest, state.track.kf_counter
-                )
-                if bool(loop.accepted):
-                    state, self.edges, _ = self._loop_close(
-                        state, self.edges, jnp.int32(self._n_edges), loop, newest
-                    )
-                    self._n_edges += 1
-                    self.num_loop_closures += 1
-                    loop_closed = True
-                    if self.gba_after_loop:
-                        # map-wide structure refinement after the
-                        # pose-graph correction (OpenVSLAM's background
-                        # global BA role, SURVEY.md §2.8)
-                        state, rmse = self._gba(state)
-                        ba_rmse = float(rmse)
-
-        self.state = state
-        tracked = not bool(state.track.lost)
-        if tracked:
-            self.pose_buffer.register(timestamp, state.track.pose)
-            ref, rel_R, rel_t = self._ref_rel(state)
-            self._frame_stats.append(
-                (fid, timestamp, int(ref),
-                 np.asarray(rel_R), np.asarray(rel_t))
-            )
-        return FrameInfo(
-            pose=state.track.pose,
-            tracked=tracked,
-            num_inliers=int(res.num_inliers),
-            num_matches=int(res.num_matches),
-            inserted_keyframe=inserted,
-            ba_rmse=ba_rmse,
-            loop_closed=loop_closed,
-            relocalized=relocalized,
+        self.state, info = self._step(
+            self.state, kp, depth_j,
+            jnp.int32(fid), jnp.float32(timestamp), pose0,
         )
+        out = FrameInfo(info)
+        # lazy registration: the buffer syncs (once, in bulk) only when
+        # someone actually queries a pose
+        self.pose_buffer.register_lazy(timestamp, out.pose, info.tracked)
+        return out
 
     # ------------------------------------------------------------------
     @property
     def lost(self) -> bool:
         """True while tracking is lost (pre-relocalization)."""
         return bool(self.state.track.lost)
+
+    @property
+    def num_loop_closures(self) -> int:
+        return int(self.state.n_loops)
+
+    @property
+    def num_relocalizations(self) -> int:
+        return int(self.state.n_relocs)
+
+    @property
+    def edges(self) -> PoseGraphEdges:
+        return self.state.edges
 
     def query_pose(self, timestamp: float) -> Optional[SE3]:
         """Interpolated cam_T_world for a mapper timestamp (the facade's
@@ -508,13 +603,26 @@ class SlamSystem:
         reference's `SaveMatchedTrajectory` semantics, where later
         refinements propagate to all frames
         (`/root/reference/modules/slam_module.cc:20-66`)."""
-        kfs = self.state.kfs
-        Rk = np.asarray(kfs.R)
-        tk = np.asarray(kfs.t)
+        st = self.state
+        n = int(st.n_frames)
+        cap = st.fs_ref.shape[0]
+        if n > cap:
+            raise RuntimeError(
+                f"fed {n} frames > max_frames={cap}; raise max_frames"
+            )
+        ref = np.asarray(st.fs_ref[:n])
+        relR = np.asarray(st.fs_relR[:n])
+        relt = np.asarray(st.fs_relt[:n])
+        tracked = np.asarray(st.fs_tracked[:n])
+        Rk = np.asarray(st.kfs.R)
+        tk = np.asarray(st.kfs.t)
         out = []
-        for fid, _ts, ref, rel_R, rel_t in self._frame_stats:
-            R = rel_R @ Rk[ref]
-            t = rel_R @ tk[ref] + rel_t
+        for i in range(n):
+            if not tracked[i]:
+                continue
+            fid = self._frames[i][0]
+            R = relR[i] @ Rk[ref[i]]
+            t = relR[i] @ tk[ref[i]] + relt[i]
             out.append((fid, np.concatenate([R, t[:, None]], axis=1)))
         return out
 
@@ -522,10 +630,10 @@ class SlamSystem:
         """(frame_id, 3x4 cam_T_world) rows for keyframes only."""
         kfs = self.state.kfs
         n = int(self.state.track.kf_counter)
-        out = []
-        for k in range(n):
-            m = np.concatenate(
-                [np.asarray(kfs.R[k]), np.asarray(kfs.t[k])[:, None]], axis=1
-            )
-            out.append((int(kfs.frame_id[k]), m))
-        return out
+        fids = np.asarray(kfs.frame_id[:n])
+        Rs = np.asarray(kfs.R[:n])
+        ts = np.asarray(kfs.t[:n])
+        return [
+            (int(fids[k]), np.concatenate([Rs[k], ts[k][:, None]], axis=1))
+            for k in range(n)
+        ]

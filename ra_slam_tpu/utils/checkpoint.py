@@ -54,10 +54,9 @@ def save_system(ckpt_dir: str, system) -> None:
     save_pytree(os.path.join(ckpt_dir, "map.npz"), system.map)
     meta = {"num_integrated": system.num_integrated}
     if system.slam is not None:
+        # SlamState is self-contained: tracker + keyframes + pose-graph
+        # edges + counters + per-frame matched statistics
         save_pytree(os.path.join(ckpt_dir, "slam.npz"), system.slam.state)
-        save_pytree(os.path.join(ckpt_dir, "edges.npz"), system.slam.edges)
-        meta["n_edges"] = system.slam._n_edges
-        meta["num_loop_closures"] = system.slam.num_loop_closures
         meta["frames"] = system.slam._frames
         # pose buffer entries (timestamp -> pose)
         buf = system.slam.pose_buffer
@@ -90,11 +89,6 @@ def load_system(ckpt_dir: str, system) -> None:
         system.slam.state = load_pytree(
             os.path.join(ckpt_dir, "slam.npz"), system.slam.state
         )
-        system.slam.edges = load_pytree(
-            os.path.join(ckpt_dir, "edges.npz"), system.slam.edges
-        )
-        system.slam._n_edges = meta["n_edges"]
-        system.slam.num_loop_closures = meta["num_loop_closures"]
         system.slam._frames = [tuple(f) for f in meta["frames"]]
         for t, R, tr in meta.get("pose_buffer", []):
             system.slam.pose_buffer.register(

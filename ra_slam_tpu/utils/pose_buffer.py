@@ -32,8 +32,37 @@ class PoseBuffer:
         self._ts: list[float] = []
         self._quat: list[np.ndarray] = []  # (w, x, y, z)
         self._trans: list[np.ndarray] = []
+        # (timestamp, device SE3, device tracked flag) not yet synced
+        self._pending: list = []
+
+    def register_lazy(self, timestamp: float, pose: SE3, valid) -> None:
+        """Queue a device-resident pose without forcing a host sync.
+
+        The tracker calls this on its hot path; poses (and their tracked
+        flags, still device scalars) are pulled in one bulk transfer the
+        first time anything reads the buffer. Untracked poses are then
+        discarded, preserving `register`'s only-valid-poses semantics."""
+        with self._lock:
+            self._pending.append((timestamp, pose, valid))
+
+    def _flush(self) -> None:
+        """Sync and register all pending lazy entries. Caller must NOT
+        hold the lock."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+        if not pending:
+            return
+        import jax
+
+        host = jax.device_get(
+            [(p.R, p.t, v) for (_t, p, v) in pending]
+        )
+        for (ts, _p, _v), (R, t, v) in zip(pending, host):
+            if bool(v):
+                self.register(ts, SE3(np.asarray(R), np.asarray(t)))
 
     def __len__(self) -> int:
+        self._flush()
         with self._lock:
             return len(self._ts)
 
@@ -60,6 +89,7 @@ class PoseBuffer:
     def query(self, timestamp: float) -> Optional[SE3]:
         """Pose at `timestamp`, SLERP-interpolated between the bracketing
         registered poses (clamped at the ends). None if empty."""
+        self._flush()
         with self._lock:
             if not self._ts:
                 return None
@@ -79,6 +109,7 @@ class PoseBuffer:
         return SE3(R, t.astype(np.float32))
 
     def latest(self) -> Optional[SE3]:
+        self._flush()
         with self._lock:
             if not self._ts:
                 return None
@@ -87,6 +118,7 @@ class PoseBuffer:
 
     def entries(self):
         """Snapshot of (timestamp, SE3) pairs (for checkpointing)."""
+        self._flush()
         with self._lock:
             ts = list(self._ts)
             qs = [np.array(q) for q in self._quat]

@@ -198,7 +198,7 @@ def test_system_loop_close_path():
         f = ds.frame(i)
         info = sys.feed_rgbd_frame(f.rgb, f.depth, f.timestamp, frame_id=i)
         assert info.tracked
-    assert sys._n_edges >= 1  # odometry edges were chained
+    assert int(sys.state.n_edges) >= 1  # odometry edges were chained
     # pose still finite/sane after any loop-close corrections
     gt = SE3.from_matrix(jnp.asarray(ds.frame(9).cam_T_world))
     rel = info.pose @ gt.inverse()
