@@ -101,6 +101,26 @@ class TrackingConfig:
     keyframe_min_inliers: int = 60  # weak tracking forces a keyframe
     max_map_points: int = 20000
     max_keyframes: int = 256
+    # pose-acceptance gates: a Gauss-Newton result that technically
+    # clears `min_inliers` can still be a degenerate fit — reject it on
+    # residual size, on an implausible single-frame jump, or when most
+    # matches were outliers (self-similar-texture aliasing). A rejected
+    # frame keeps the predicted pose and flags `lost` (-> relocalizer)
+    # instead of poisoning the map with a garbage keyframe.
+    max_track_rmse: float = 3.0  # px, inlier reprojection rmse
+    max_pose_jump_t: float = 0.5  # m per frame vs prediction
+    max_pose_jump_r: float = 0.35  # rad per frame vs prediction
+    min_inlier_ratio: float = 0.5  # inliers / matches
+    # landmark-fusion gates (OpenVSLAM's local-mapping "fuse" step):
+    # at keyframe insertion an unmatched feature re-binds to an existing
+    # landmark instead of spawning a duplicate when one agrees in
+    # descriptor, image position (wide gate — drift tolerance), and depth
+    fuse_radius: float = 35.0  # px
+    fuse_hamming_max: int = 22
+    fuse_depth_ratio: float = 0.06  # |z_lm - d| <= ratio * d + 0.05 m
+    # landmark culling cadence (per keyframe)
+    cull_min_obs: int = 2
+    cull_max_age: int = 40
 
 
 @dataclass(frozen=True)

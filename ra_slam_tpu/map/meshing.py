@@ -216,62 +216,154 @@ def _mesh_block(tsdf9, weight9, prob9, base_voxel, voxel_size, min_weight):
     )
 
 
-@partial(jax.jit, static_argnames=("voxel_size", "min_weight", "cap"))
-def _mesh_chunk(
-    m: VoxelMap, bidx: jax.Array, voxel_size: float, min_weight: float,
-    cap: int,
-):
-    """Triangulate a chunk of blocks bidx [B] (pad with -1) and compact
-    the valid triangles on-device (cumsum-scatter) so only real surface
-    data crosses the device->host boundary — the analog of the
-    reference's prefix-sum mesh compaction before its D2H copy
-    (`/root/reference/utils/tsdf/voxel_tsdf.cu:736-845`).
+def _pack_edge_keys(edges: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[T, 2, 3] int32 endpoint lattice coords -> canonical (hi, lo)
+    uint32 key pair per edge.
 
-    Returns (verts [cap,3,3], probs [cap,3], edges [cap,3,2,3],
-    n_valid scalar). n_valid > cap signals overflow (caller splits).
+    Both endpoints are corners of one lattice cube, so after choosing the
+    lexicographically smaller endpoint as the base the per-axis delta is
+    in {-1, 0, 1}: key = [x:19][y:19][z:19][delta:5] over 62 bits, split
+    into two uint32 lanes (TPU-friendly — no int64 anywhere).
     """
-    keys = jnp.where(bidx >= 0, m.block_key[jnp.maximum(bidx, 0)], 0)
-    coords = unpack_block_coords(keys)  # [B, 3]
-    nbr_keys = pack_block_coords(coords[:, None, :] + jnp.asarray(_NBR_OFFS)[None])
-    nbr_idx = ht_lookup(m.table, nbr_keys.reshape(-1)).reshape(nbr_keys.shape)
-
-    t9 = _gather_halo(m, bidx, nbr_idx, m.tsdf, 1.0)
-    w9 = _gather_halo(m, bidx, nbr_idx, m.weight, 0.0)
-    p9 = _gather_halo(m, bidx, nbr_idx, m.prob, 0.5)
-    base = coords * BLOCK_LEN
-
-    verts, probs, valid, edges = jax.vmap(
-        lambda a, b, c, d: _mesh_block(a, b, c, d, voxel_size, min_weight)
-    )(t9, w9, p9, base)
-    valid = (valid & (bidx >= 0)[:, None]).reshape(-1)  # [B*4608] per-tri
-    tri_v = verts.reshape(-1, 3, 3)
-    tri_p = probs.reshape(-1, 3)
-    tri_e = edges.reshape(-1, 3, 2, 3)
-
-    n_valid = jnp.sum(valid.astype(jnp.int32))
-    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    dest = jnp.where(valid & (rank < cap), rank, cap)
-    out_v = jnp.zeros((cap, 3, 3), tri_v.dtype).at[dest].set(tri_v, mode="drop")
-    out_p = jnp.zeros((cap, 3), tri_p.dtype).at[dest].set(tri_p, mode="drop")
-    out_e = jnp.zeros((cap, 3, 2, 3), tri_e.dtype).at[dest].set(
-        tri_e, mode="drop"
+    e = (edges + (1 << 18)).astype(jnp.uint32)  # offset-binary, 19 bits
+    packed = (
+        (e[..., 0] << jnp.uint32(13))
+        ^ (e[..., 1] << jnp.uint32(3))
+        ^ e[..., 2]
+    )  # order proxy only
+    a_first = packed[:, 0] <= packed[:, 1]
+    base = jnp.where(a_first[:, None], e[:, 0], e[:, 1])
+    other = jnp.where(a_first[:, None], e[:, 1], e[:, 0])
+    d = other.astype(jnp.int32) - base.astype(jnp.int32) + 1  # {0,1,2}
+    d5 = (d[:, 0] * 9 + d[:, 1] * 3 + d[:, 2]).astype(jnp.uint32)  # < 27
+    x, y, z = base[:, 0], base[:, 1], base[:, 2]
+    hi = (x << jnp.uint32(13)) | (y >> jnp.uint32(6))
+    lo = (
+        ((y & jnp.uint32(0x3F)) << jnp.uint32(26))
+        | (z << jnp.uint32(7))
+        | d5
     )
-    return out_v, out_p, out_e, n_valid
+    return hi, lo
 
 
-def _pack_endpoints(edges: np.ndarray) -> np.ndarray:
-    """[V, 2, 3] int endpoint lattice coords -> [V] canonical edge key.
+@partial(
+    jax.jit, static_argnames=("voxel_size", "min_weight", "chunk", "max_tris")
+)
+def _mesh_device(
+    m: VoxelMap,
+    voxel_size: float,
+    min_weight: float,
+    chunk: int,
+    max_tris: int,
+):
+    """The whole extraction as ONE device program.
 
-    Each endpoint packs into 63 bits (21 bits/axis, offset-binary); the
-    unordered pair is canonicalized by sorting, then combined into one
-    16-byte row viewed as a void scalar for `np.unique`.
+    A `lax.scan` over block chunks triangulates and compacts every valid
+    triangle into a global buffer (running cumsum offset — the analog of
+    the reference's prefix-sum mesh compaction, `voxel_tsdf.cu:736-845`),
+    then shared vertices are deduplicated on device by lexsorting packed
+    edge keys. Only the final compact mesh crosses the device->host
+    boundary (the chunked predecessor synced + shipped ~3T raw vertices
+    per chunk over the link).
+
+    Returns (verts [cap,3,3], probs [cap,3], uniq_v [3*cap,3],
+    uniq_p [3*cap], inverse [cap,3], n_tris, n_verts).
     """
-    e = edges.astype(np.int64) + (1 << 20)
-    packed = (e[..., 0] << 42) | (e[..., 1] << 21) | e[..., 2]  # [V, 2]
-    lo = np.minimum(packed[:, 0], packed[:, 1])
-    hi = np.maximum(packed[:, 0], packed[:, 1])
-    key = np.ascontiguousarray(np.stack([lo, hi], axis=-1))
-    return key.view([("lo", "<i8"), ("hi", "<i8")]).reshape(-1)
+    N = m.num_blocks
+    # compact active block indices (cumsum-scatter; order = pool order)
+    act = m.active
+    rank = jnp.cumsum(act.astype(jnp.int32)) - 1
+    dest = jnp.where(act, rank, N)
+    n_active = jnp.sum(act.astype(jnp.int32))
+    order = jnp.full((N,), -1, jnp.int32).at[dest].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    )
+    n_chunks = (N + chunk - 1) // chunk
+    pad = n_chunks * chunk - N
+    chunks = jnp.concatenate(
+        [order, jnp.full((pad,), -1, jnp.int32)]
+    ).reshape(n_chunks, chunk)
+
+    cap = max_tris
+    buf_v = jnp.zeros((cap, 3, 3), jnp.float32)
+    buf_p = jnp.zeros((cap, 3), jnp.float32)
+    buf_hi = jnp.full((cap, 3), jnp.uint32(0xFFFFFFFF))
+    buf_lo = jnp.full((cap, 3), jnp.uint32(0xFFFFFFFF))
+
+    def body(carry, bidx):
+        buf_v, buf_p, buf_hi, buf_lo, offset = carry
+        keys = jnp.where(bidx >= 0, m.block_key[jnp.maximum(bidx, 0)], 0)
+        coords = unpack_block_coords(keys)
+        nbr_keys = pack_block_coords(
+            coords[:, None, :] + jnp.asarray(_NBR_OFFS)[None]
+        )
+        nbr_idx = ht_lookup(m.table, nbr_keys.reshape(-1)).reshape(
+            nbr_keys.shape
+        )
+        t9 = _gather_halo(m, bidx, nbr_idx, m.tsdf, 1.0)
+        w9 = _gather_halo(m, bidx, nbr_idx, m.weight, 0.0)
+        p9 = _gather_halo(m, bidx, nbr_idx, m.prob, 0.5)
+        base = coords * BLOCK_LEN
+
+        verts, probs, valid, edges = jax.vmap(
+            lambda a, b, c, d: _mesh_block(a, b, c, d, voxel_size, min_weight)
+        )(t9, w9, p9, base)
+        valid = (valid & (bidx >= 0)[:, None]).reshape(-1)  # [B*4608]
+        tri_v = verts.reshape(-1, 3, 3)
+        tri_p = probs.reshape(-1, 3)
+        hi, lo = _pack_edge_keys(edges.reshape(-1, 2, 3))
+        tri_hi = hi.reshape(-1, 3)
+        tri_lo = lo.reshape(-1, 3)
+
+        rank = jnp.cumsum(valid.astype(jnp.int32)) - 1 + offset
+        dst = jnp.where(valid & (rank < cap), rank, cap)
+        buf_v = buf_v.at[dst].set(tri_v, mode="drop")
+        buf_p = buf_p.at[dst].set(tri_p, mode="drop")
+        buf_hi = buf_hi.at[dst].set(tri_hi, mode="drop")
+        buf_lo = buf_lo.at[dst].set(tri_lo, mode="drop")
+        offset = offset + jnp.sum(valid.astype(jnp.int32))
+        return (buf_v, buf_p, buf_hi, buf_lo, offset), None
+
+    (buf_v, buf_p, buf_hi, buf_lo, n_tris), _ = jax.lax.scan(
+        body, (buf_v, buf_p, buf_hi, buf_lo, jnp.int32(0)), chunks
+    )
+
+    # ---- on-device shared-vertex dedup (sort-unique, the block-alloc
+    # trick applied to edge keys; sentinel keys 0xFFFFFFFF sort last)
+    M = 3 * cap
+    hi = buf_hi.reshape(M)
+    lo = buf_lo.reshape(M)
+    perm = jnp.lexsort((lo, hi))
+    s_hi, s_lo = hi[perm], lo[perm]
+    is_sent = (s_hi == jnp.uint32(0xFFFFFFFF)) & (
+        s_lo == jnp.uint32(0xFFFFFFFF)
+    )
+    first = jnp.concatenate(
+        [
+            jnp.array([True]),
+            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
+        ]
+    ) & ~is_sent
+    uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # [M]
+    n_verts = jnp.sum(first.astype(jnp.int32))
+    inverse = (
+        jnp.zeros((M,), jnp.int32).at[perm].set(uid_sorted).reshape(cap, 3)
+    )
+    # representative (first-occurrence) vertex data per unique id
+    rep = jnp.where(first, uid_sorted, M)
+    src = perm  # original flat slot of each sorted element
+    uniq_v = (
+        jnp.zeros((M, 3), jnp.float32)
+        .at[rep]
+        .set(buf_v.reshape(M, 3)[src], mode="drop")
+    )
+    uniq_p = (
+        jnp.zeros((M,), jnp.float32)
+        .at[rep]
+        .set(buf_p.reshape(M)[src], mode="drop")
+    )
+    del n_active
+    return uniq_v, uniq_p, inverse, n_tris, n_verts
 
 
 def extract_mesh(
@@ -279,6 +371,7 @@ def extract_mesh(
     cfg: TsdfConfig,
     min_weight: float = 1.5,
     chunk: int = 256,
+    max_tris: int = 1 << 22,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extract the full mesh with shared-vertex compaction.
 
@@ -288,53 +381,28 @@ def extract_mesh(
     keys — the same batch-dedup trick as block allocation), so V ≈ T/2
     like the reference's vertex-ownership + compaction scheme
     (`/root/reference/utils/tsdf/voxel_tsdf.cu:561-734`) instead of 3T.
+
+    One device program + one compact D2H transfer; raises if the map's
+    surface exceeds `max_tris` (call again with a bigger budget).
     """
-    active = np.nonzero(np.asarray(m.active))[0].astype(np.int32)
-    vs, ps, es = [], [], []
-
-    def mesh_part(part: np.ndarray, csize: int):
-        """Mesh `part` (<= csize blocks) at chunk size csize; split on
-        triangle-cap overflow (a single block's 6144-tri worst case
-        always fits csize >= 8)."""
-        cap = csize * 768  # ~1/8 of the worst case; generous for surfaces
-        pad = np.full(csize - len(part), -1, dtype=np.int32)
-        bidx = jnp.asarray(np.concatenate([part, pad]))
-        verts, probs, edges, n_valid = _mesh_chunk(
-            m, bidx, cfg.voxel_size, min_weight, cap
+    uniq_v, uniq_p, inverse, n_tris, n_verts = _mesh_device(
+        m, cfg.voxel_size, min_weight, chunk, max_tris
+    )
+    n = int(n_tris)
+    if n > max_tris:
+        raise ValueError(
+            f"mesh overflow: {n} triangles > max_tris={max_tris}"
         )
-        n = int(n_valid)
-        if n > cap:
-            if len(part) == 1:  # cap >= 768 < 6144: force a big-cap pass
-                verts, probs, edges, n_valid = _mesh_chunk(
-                    m, jnp.asarray(part), cfg.voxel_size, min_weight,
-                    MAX_TRIS_PER_BLOCK,
-                )
-                n = int(n_valid)
-            else:
-                h = len(part) // 2
-                mesh_part(part[:h], csize)
-                mesh_part(part[h:], csize)
-                return
-        vs.append(np.asarray(verts[:n]).reshape(-1, 3))
-        ps.append(np.asarray(probs[:n]).reshape(-1))
-        es.append(np.asarray(edges[:n]).reshape(-1, 2, 3))
-
-    for s in range(0, len(active), chunk):
-        mesh_part(active[s : s + chunk], chunk)
-    if not vs:
+    v = int(n_verts)
+    if n == 0:
         return (
             np.zeros((0, 3), np.float32),
             np.zeros((0, 3), np.int32),
             np.zeros((0,), np.float32),
         )
-    flat_v = np.concatenate(vs).astype(np.float32)  # [3T, 3]
-    flat_p = np.concatenate(ps).astype(np.float32)  # [3T]
-    keys = _pack_endpoints(np.concatenate(es))  # [3T]
-
-    _, first, inverse = np.unique(keys, return_index=True, return_inverse=True)
-    vertices = flat_v[first]
-    probs = flat_p[first]
-    indices = inverse.astype(np.int32).reshape(-1, 3)
+    vertices = np.asarray(uniq_v[:v])
+    probs = np.asarray(uniq_p[:v])
+    indices = np.asarray(inverse[:n])
     # drop triangles degenerated by the dedup (two corners on one edge)
     nondeg = (
         (indices[:, 0] != indices[:, 1])

@@ -1,32 +1,48 @@
 """Raycast rendering of the TSDF map.
 
-TPU-native redesign of the reference's `ray_cast_kernel`
-(`/root/reference/utils/tsdf/voxel_tsdf.cu:278-374`): per-pixel sphere
-march with zero-crossing detection, trilinear refinement,
-central-difference normals, diffuse shading, and a semantic red-alpha
-overlay.
+Capability parity with the reference's `ray_cast_kernel`
+(`/root/reference/utils/tsdf/voxel_tsdf.cu:278-374`): depth, shaded
+RGBA with a semantic red-alpha overlay, and surface normals from a
+virtual camera.
 
-The reference marches with a per-ray *adaptive* step (÷10 near the
-surface) and chases hash-table pointers per step with a per-thread block
-cache. Both are warp-divergence workarounds that map poorly to the VPU.
-Here instead:
+TPU-native redesign — **splatting, not marching**. The reference
+sphere-marches every ray with an adaptive step and per-step hash
+lookups; rays are independent so a GPU warp tolerates the divergence.
+On a TPU both the per-step *gathers* (random access into the voxel
+pool) and the long data-dependent loop are poison: a 640x480 render
+costs 200 serial steps x 3 gathers over 307k rays and minutes of
+XLA compile for the unrolled lookup chain.
 
-  1. a dense *block-index grid* (a [G,G,G] int32 array covering the
-     mapped region, rebuilt in one scatter per call) turns every
-     map lookup into a single gather — no hash probes on the hot path;
-  2. the march is a fixed-step `lax.fori_loop` over all rays with
-     per-ray done masks (uniform trip count, XLA-friendly), followed by
-     one secant refinement + trilinear resample at the crossing.
+Here the data flow is inverted into dense, batched ops — the same move
+as the integrate kernel (map/voxel_map.py): instead of rays *searching*
+for the surface, every voxel of every frustum-visible block *reports*
+where it is:
+
+  1. frustum-cull + compact active blocks (cumsum-scatter, shared with
+     the integrate path);
+  2. project all [V, 512] voxel centers into the camera — one dense
+     matmul + elementwise pass, no gathers (payloads arrive by fast
+     row gather of whole blocks);
+  3. every near-surface voxel (|tsdf| < shell, weight >= min) splats a
+     *TSDF-corrected* depth: the range-scaled SDF stored by the
+     integrator localizes the zero crossing along the ray, so
+     z_surf = z_voxel + tsdf * truncation / (range/z). Every splat in
+     the 2x-truncation shell lands on the surface itself — sub-voxel
+     accuracy without the reference's trilinear refinement loop, and
+     a ~12-voxel-thick splat layer that keeps grazing surfaces
+     hole-free;
+  4. one scatter-min z-buffers 8.4M splats into the depth image;
+     color/semantics resolve with packed (depth16 | attr8) int32
+     scatter-mins (winner-take-nearest per channel);
+  5. normals come from central differences of the *depth image*
+     (screen-space), replacing the reference's 6 extra trilinear
+     map lookups per hit with shifted dense slices.
 
 Outputs match the reference renderer: RGBA image (shaded color +
-semantic overlay), normal-shaded image, and a depth map (used by the
-pose tracker for frame-to-model alignment, which the reference gets
-from OpenVSLAM instead).
+semantic overlay), normal image, depth map, hit mask.
 """
 
 from __future__ import annotations
-
-from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,99 +50,41 @@ import jax.numpy as jnp
 from ra_slam_tpu.core.camera import PinholeCamera
 from ra_slam_tpu.core.config import TsdfConfig
 from ra_slam_tpu.core.se3 import SE3
-from ra_slam_tpu.map.blocks import BLOCK_LEN, unpack_block_coords
-from ra_slam_tpu.map.voxel_map import VoxelMap
+from ra_slam_tpu.map.blocks import BLOCK_LEN, unpack_block_coords, voxel_offsets
+from ra_slam_tpu.map.voxel_map import VoxelMap, visible_blocks
 
 
-class BlockGrid(NamedTuple):
-    """Dense [G, G, G] int32 block-index grid (-1 = unallocated) with a
-    block-space origin; the per-frame acceleration structure."""
 
-    index: jax.Array  # [G, G, G] int32
-    origin: jax.Array  # [3] int32 block coords of grid corner
+def _screen_space_normals(
+    depth: jax.Array, hit: jax.Array, cam: PinholeCamera
+) -> jax.Array:
+    """Camera-frame normals from the depth image: central
+    differences of back-projected points (replaces the reference's
+    6-lookup central-difference TSDF gradient, voxel_tsdf.cu:334-345).
+    Returns [H, W, 3] camera-frame unit normals (0 where invalid)."""
+    H, W = depth.shape
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    X = (u - cam.cx) / cam.fx * depth
+    Y = (v - cam.cy) / cam.fy * depth
+    P = jnp.stack([X, Y, depth], axis=-1)  # [H, W, 3]
 
-    @property
-    def extent(self) -> int:
-        return self.index.shape[0]
+    def shift(a, du, dv):
+        return jnp.roll(a, shift=(-dv, -du), axis=(0, 1))
 
-
-def build_block_grid(m: VoxelMap, origin_block: jax.Array, extent: int) -> BlockGrid:
-    """Scatter active block indices into a dense grid.
-
-    origin_block: [3] int32 — block coords of the grid's corner (choose
-    so the camera frustum fits; e.g. camera block - extent/2).
-    """
-    coords = unpack_block_coords(m.block_key) - origin_block  # [N, 3]
-    inb = m.active & jnp.all((coords >= 0) & (coords < extent), axis=-1)
-    flat = (coords[:, 0] * extent + coords[:, 1]) * extent + coords[:, 2]
-    flat = jnp.where(inb, flat, extent**3)
-    grid = jnp.full((extent**3,), -1, dtype=jnp.int32)
-    grid = grid.at[flat].set(
-        jnp.arange(m.num_blocks, dtype=jnp.int32), mode="drop"
-    )
-    return BlockGrid(grid.reshape(extent, extent, extent), origin_block)
-
-
-def _lookup_voxel(
-    m: VoxelMap, grid: BlockGrid, vox: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fetch (tsdf, weight, block_idx) at integer voxel coords [..., 3].
-
-    Unallocated space reads tsdf=1 (empty), weight=0.
-    """
-    g = grid.extent
-    b = jnp.floor_divide(vox, BLOCK_LEN) - grid.origin
-    off = jnp.mod(vox, BLOCK_LEN)
-    inb = jnp.all((b >= 0) & (b < g), axis=-1)
-    bc = jnp.clip(b, 0, g - 1)
-    bidx = grid.index[bc[..., 0], bc[..., 1], bc[..., 2]]
-    bidx = jnp.where(inb, bidx, -1)
-    oidx = off[..., 0] + BLOCK_LEN * off[..., 1] + BLOCK_LEN * BLOCK_LEN * off[..., 2]
-    safe_b = jnp.maximum(bidx, 0)
-    flat = safe_b * (BLOCK_LEN**3) + oidx
-    tsdf = jnp.take(m.tsdf.reshape(-1), flat)
-    weight = jnp.take(m.weight.reshape(-1), flat)
-    ok = bidx >= 0
-    return jnp.where(ok, tsdf, 1.0), jnp.where(ok, weight, 0.0), bidx
-
-
-def _trilinear(
-    m: VoxelMap, grid: BlockGrid, pts_vox: jax.Array
-) -> Tuple[jax.Array, jax.Array]:
-    """Trilinear TSDF (and min-weight) at continuous voxel coords [..., 3]
-    (the reference's `VoxelHashTable::RetrieveTSDF`, voxel_hash.cu:161-188)."""
-    p0 = jnp.floor(pts_vox).astype(jnp.int32)
-    f = pts_vox - p0
-    tsdf = jnp.zeros(pts_vox.shape[:-1], dtype=jnp.float32)
-    wmin = jnp.full(pts_vox.shape[:-1], jnp.inf, dtype=jnp.float32)
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                c = p0 + jnp.array([dx, dy, dz], dtype=jnp.int32)
-                t, w, _ = _lookup_voxel(m, grid, c)
-                wx = f[..., 0] if dx else 1.0 - f[..., 0]
-                wy = f[..., 1] if dy else 1.0 - f[..., 1]
-                wz = f[..., 2] if dz else 1.0 - f[..., 2]
-                tsdf = tsdf + t * wx * wy * wz
-                wmin = jnp.minimum(wmin, w)
-    return tsdf, wmin
-
-
-def _sample_payload(m: VoxelMap, grid: BlockGrid, vox: jax.Array):
-    """Nearest-voxel rgb + semantic prob at integer voxel coords."""
-    g = grid.extent
-    b = jnp.floor_divide(vox, BLOCK_LEN) - grid.origin
-    off = jnp.mod(vox, BLOCK_LEN)
-    inb = jnp.all((b >= 0) & (b < g), axis=-1)
-    bc = jnp.clip(b, 0, g - 1)
-    bidx = grid.index[bc[..., 0], bc[..., 1], bc[..., 2]]
-    bidx = jnp.where(inb, bidx, -1)
-    oidx = off[..., 0] + BLOCK_LEN * off[..., 1] + BLOCK_LEN * BLOCK_LEN * off[..., 2]
-    flat = jnp.maximum(bidx, 0) * (BLOCK_LEN**3) + oidx
-    rgb = jnp.take(m.rgb.reshape(-1, 3), flat, axis=0)
-    prob = jnp.take(m.prob.reshape(-1), flat)
-    ok = (bidx >= 0)[..., None]
-    return jnp.where(ok, rgb, 0.0), jnp.where(ok[..., 0], prob, 0.5)
+    ok = hit
+    okr, okl = shift(ok, 1, 0), shift(ok, -1, 0)
+    okd, oku = shift(ok, 0, 1), shift(ok, 0, -1)
+    dPdu = shift(P, 1, 0) - shift(P, -1, 0)
+    dPdv = shift(P, 0, 1) - shift(P, 0, -1)
+    n = jnp.cross(dPdv, dPdu)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(nn, 1e-9)
+    # orient toward the camera (reference flips by ray direction too)
+    flip = jnp.sum(n * P, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    valid = (ok & okr & okl & okd & oku)[..., None]
+    return jnp.where(valid, n, 0.0)
 
 
 def raycast(
@@ -134,91 +92,141 @@ def raycast(
     cam: PinholeCamera,
     cam_T_world: SE3,
     cfg: TsdfConfig,
-    grid_extent: int = 128,
-    step_scale: float = 0.5,
+    shell: float = 0.5,
 ) -> dict:
-    """Render the map from a virtual camera.
+    """Render the map from a virtual camera by TSDF splatting.
 
-    Returns dict with 'depth' [H,W], 'rgba' [H,W,4] (uint8-range float),
-    'normal' [H,W,3], 'hit' [H,W] bool.
+    Returns dict with 'depth' [H,W] (z-depth, 0 = miss), 'rgba' [H,W,4]
+    (uint8-range float, shaded + semantic overlay), 'normal' [H,W,3]
+    (camera-frame), 'hit' [H,W] bool.
     """
     H, W = cam.height, cam.width
+    n_pix = H * W
     world_T_cam = cam_T_world.inverse()
-    origin_w = world_T_cam.t  # camera center in world
 
-    block_size = BLOCK_LEN * cfg.voxel_size
-    cam_block = jnp.floor(origin_w / block_size).astype(jnp.int32)
-    grid = build_block_grid(m, cam_block - grid_extent // 2, grid_extent)
+    vis_idx, vis_mask, _count = visible_blocks(m, cam, cam_T_world, cfg)
 
-    uv = cam.pixel_grid().reshape(-1, 2)  # [P, 2]
-    dirs_cam = cam.unproject(uv, jnp.ones(uv.shape[0]))
-    dirs_cam = dirs_cam / jnp.linalg.norm(dirs_cam, axis=-1, keepdims=True)
-    dirs_w = world_T_cam.rotate(dirs_cam)  # [P, 3]
+    # voxel centers of visible blocks, world frame [V, 512, 3]
+    base = unpack_block_coords(m.block_key[vis_idx])  # [V, 3]
+    offs = voxel_offsets()  # [512, 3]
+    pts = (
+        base[:, None, :].astype(jnp.float32) * BLOCK_LEN
+        + offs[None].astype(jnp.float32)
+        + 0.5
+    ) * cfg.voxel_size
 
-    step = cfg.truncation * step_scale
-    n_steps = int((cfg.max_depth - cfg.min_depth) / step) + 2
-    inv_vox = 1.0 / cfg.voxel_size
+    q = cam_T_world.apply(pts)  # [V, 512, 3] camera frame
+    uv, z = cam.project(q)
+    r = jnp.linalg.norm(q, axis=-1)
+    d2r = r / jnp.maximum(z, 1e-9)  # range per unit depth
 
-    def body(i, carry):
-        t_hit, prev_tsdf, prev_t, done = carry
-        t = cfg.min_depth + i * step
-        pts = origin_w + dirs_w * t
-        vox = jnp.floor(pts * inv_vox).astype(jnp.int32)
-        tsdf, w, _ = _lookup_voxel(m, grid, vox)
-        observed = w >= cfg.raycast_min_weight
-        # zero crossing: previous sample in front (tsdf > 0), current behind
-        cross = (~done) & observed & (prev_tsdf > 0) & (tsdf < 0)
-        denom = prev_tsdf - tsdf
-        frac = jnp.where(jnp.abs(denom) > 1e-9, prev_tsdf / denom, 0.5)
-        t_new = prev_t + frac * (t - prev_t)
-        t_hit = jnp.where(cross, t_new, t_hit)
-        done = done | cross
-        # unobserved samples don't update the crossing state (the
-        # reference skips weight<10 voxels the same way)
-        prev_tsdf = jnp.where(observed & ~done, tsdf, prev_tsdf)
-        prev_t = jnp.where(observed & ~done, t, prev_t)
-        return t_hit, prev_tsdf, prev_t, done
+    tsdf = m.tsdf[vis_idx]  # [V, 512] fast row gathers
+    weight = m.weight[vis_idx]
+    rgb = m.rgb[vis_idx]  # [V, 512, 3]
+    prob = m.prob[vis_idx]
 
-    P = uv.shape[0]
-    init = (
-        jnp.zeros(P),
-        jnp.full((P,), 1.0),
-        jnp.full((P,), cfg.min_depth),
-        jnp.zeros(P, dtype=bool),
+    # TSDF-corrected surface depth along this pixel's ray
+    z_surf = z + tsdf * cfg.truncation / d2r
+
+    ui = jnp.round(uv[..., 0]).astype(jnp.int32)
+    vi = jnp.round(uv[..., 1]).astype(jnp.int32)
+    valid = (
+        vis_mask[:, None]
+        & (weight >= cfg.raycast_min_weight)
+        & (jnp.abs(tsdf) < shell)
+        & (z > 0.0)
+        & (z_surf > cfg.min_depth)
+        & (z_surf <= cfg.max_depth)
+        & (ui >= 0)
+        & (ui < W)
+        & (vi >= 0)
+        & (vi < H)
+    ).reshape(-1)
+    pix_all = (vi * W + jnp.clip(ui, 0, W - 1)).reshape(-1)
+
+    # compact valid splats before z-buffering: scatter cost scales with
+    # the INPUT element count, and most voxels fail the shell/weight/
+    # frustum gates; the compaction scatter itself has unique ascending
+    # destinations (XLA's fast path)
+    s_cap = max(1 << 15, (valid.shape[0] // 4))
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid & (rank < s_cap), rank, s_cap)
+
+    def compact(a, fill):
+        return jnp.full((s_cap,), fill, a.dtype).at[dest].set(
+            a.reshape(-1), mode="drop"
+        )
+
+    pix = compact(pix_all, n_pix)
+    z_flat = compact(z_surf.reshape(-1), jnp.inf)
+
+    depth_min = (
+        jnp.full((n_pix,), jnp.inf, jnp.float32)
+        .at[pix]
+        .min(z_flat, mode="drop")
     )
-    t_hit, _, _, hit = jax.lax.fori_loop(0, n_steps, body, init)
+    hit = jnp.isfinite(depth_min)
+    depth = jnp.where(hit, depth_min, 0.0)
 
-    # refine + shade at hits
-    pts_hit = origin_w + dirs_w * t_hit[:, None]
-    pv = pts_hit * inv_vox
-    # central-difference normals from trilinear tsdf (reference: 6 extra
-    # lookups, voxel_tsdf.cu:334-345)
-    eps = 1.0  # one voxel
-    grads = []
-    for ax in range(3):
-        e = jnp.zeros(3).at[ax].set(eps)
-        tp, _ = _trilinear(m, grid, pv + e)
-        tm, _ = _trilinear(m, grid, pv - e)
-        grads.append(tp - tm)
-    normal = jnp.stack(grads, axis=-1)
-    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    normal = normal / jnp.maximum(nn, 1e-9)
+    # attribute channels: two int32 scatter-mins of packed
+    # (15-bit quantized depth | two 8-bit values) keys — the nearest
+    # splat wins; 0.2 mm depth quantization breaks ties harmlessly
+    dq = jnp.clip(
+        z_flat / (cfg.max_depth + cfg.truncation) * ((1 << 15) - 1),
+        0,
+        (1 << 15) - 1,
+    ).astype(jnp.int32)
+    key_base = dq << 16
+    init = jnp.iinfo(jnp.int32).max
 
-    rgb, prob = _sample_payload(m, grid, jnp.round(pv).astype(jnp.int32))
+    def attr8(a):
+        return jnp.clip(compact(a.reshape(-1), 0.0), 0, 255).astype(jnp.int32)
+
+    def resolve2(hi8, lo8):  # -> ([n_pix], [n_pix]) uint8-range f32
+        key = key_base + (hi8 << 8) + lo8
+        won = (
+            jnp.full((n_pix,), init, jnp.int32).at[pix].min(key, mode="drop")
+        )
+        won = jnp.where(hit, won, 0)
+        return (
+            ((won >> 8) & 0xFF).astype(jnp.float32),
+            (won & 0xFF).astype(jnp.float32),
+        )
+
+    red, green = resolve2(attr8(rgb[..., 0]), attr8(rgb[..., 1]))
+    blue, prx = resolve2(attr8(rgb[..., 2]), attr8(prob * 255.0))
+    pr = prx / 255.0
+
+    depth_img = depth.reshape(H, W)
+    hit_img = hit.reshape(H, W)
+    normal = _screen_space_normals(depth_img, hit_img, cam)
+
     # diffuse shading + semantic red-alpha overlay (voxel_tsdf.cu:346-360)
-    diffuse = jnp.abs(jnp.sum(normal * dirs_w, axis=-1))
-    shaded = rgb * diffuse[:, None]
-    alpha = jnp.clip((prob - 0.5) * 2.0, 0.0, 1.0)
-    red = jnp.array([255.0, 0.0, 0.0])
-    overlaid = shaded * (1 - alpha[:, None]) + red[None] * alpha[:, None]
+    u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
+    v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
+    dirs = jnp.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, jnp.ones((H, W))],
+        axis=-1,
+    )
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    diffuse = jnp.abs(jnp.sum(normal * dirs, axis=-1))
+    # flat fallback where normals are unavailable (isolated splats)
+    diffuse = jnp.where(hit_img & (diffuse == 0), 1.0, diffuse)
 
-    hitf = hit.astype(jnp.float32)
-    rgba = jnp.concatenate([overlaid * hitf[:, None], hitf[:, None] * 255.0], axis=-1)
-    depth = jnp.where(hit, t_hit * jnp.abs(dirs_cam[:, 2]), 0.0)  # range -> z
+    color = jnp.stack(
+        [red.reshape(H, W), green.reshape(H, W), blue.reshape(H, W)], axis=-1
+    )
+    shaded = color * diffuse[..., None]
+    alpha = jnp.clip((pr.reshape(H, W) - 0.5) * 2.0, 0.0, 1.0)[..., None]
+    red_col = jnp.array([255.0, 0.0, 0.0])
+    overlaid = shaded * (1 - alpha) + red_col * alpha
+
+    hitf = hit_img.astype(jnp.float32)[..., None]
+    rgba = jnp.concatenate([overlaid * hitf, hitf * 255.0], axis=-1)
 
     return {
-        "depth": depth.reshape(H, W),
-        "rgba": rgba.reshape(H, W, 4),
-        "normal": (normal * hitf[:, None]).reshape(H, W, 3),
-        "hit": hit.reshape(H, W),
+        "depth": depth_img,
+        "rgba": rgba,
+        "normal": normal * hitf,
+        "hit": hit_img,
     }

@@ -32,6 +32,7 @@ class LoopCandidate(NamedTuple):
     score: jax.Array  # float32 embedding similarity
     rel_pose: SE3  # query_T_cand (cam_i_T_cam_j with i=query)
     num_inliers: jax.Array  # int32 verified inliers
+    rmse: jax.Array  # float32 inlier reprojection rmse (px)
     accepted: jax.Array  # bool
 
 
@@ -75,11 +76,14 @@ def verify_candidate(
     tcfg: TrackingConfig,
     min_inliers: int = 25,
     iterations: int = 10,
+    max_rmse: float = 2.0,
 ) -> LoopCandidate:
     """Geometric verification: match query->candidate descriptors, solve
     the query pose against the candidate's landmark positions (robust
     motion-only GN — the batched stand-in for PnP RANSAC), and accept on
-    inlier count. All shapes static; call under jit."""
+    inlier count AND inlier reprojection rmse (a self-similar scene can
+    buy inliers on a wrong candidate, but not a tight residual).
+    All shapes static; call under jit."""
     safe_cand = jnp.maximum(cand_slot, 0)
     q_desc = kfs.desc[query_slot]
     q_w = kfs.obs_w[query_slot]
@@ -114,12 +118,17 @@ def verify_candidate(
 
     cand_pose = SE3(kfs.R[safe_cand], kfs.t[safe_cand])
     rel = res.pose @ cand_pose.inverse()  # Z_qc = T_q_corrected · T_c^-1
-    accepted = (cand_slot >= 0) & (res.num_inliers >= min_inliers)
+    accepted = (
+        (cand_slot >= 0)
+        & (res.num_inliers >= min_inliers)
+        & (res.rmse <= max_rmse)
+    )
     return LoopCandidate(
         cand=cand_slot,
         score=jnp.float32(0.0),
         rel_pose=rel,
         num_inliers=res.num_inliers,
+        rmse=res.rmse,
         accepted=accepted,
     )
 
@@ -143,6 +152,8 @@ def relocalize(
     tcfg: TrackingConfig,
     min_inliers: int = 20,
     iterations: int = 10,
+    max_rmse: float = 3.0,
+    min_score: float = 0.1,
 ) -> RelocResult:
     """Re-acquire the camera pose after tracking loss.
 
@@ -189,7 +200,14 @@ def relocalize(
         iterations=iterations,
         huber_delta=tcfg.huber_delta,
     )
-    accepted = jnp.any(ok) & (res.num_inliers >= min_inliers)
+    # rmse gate: a wrong keyframe on a self-similar scene can collect
+    # `min_inliers` matches, but they do not form a tight reprojection
+    accepted = (
+        jnp.any(ok)
+        & (res.num_inliers >= min_inliers)
+        & (res.rmse <= max_rmse)
+        & (scores[cand] >= min_score)
+    )
     return RelocResult(
         pose=res.pose,
         cand=cand,
@@ -209,10 +227,12 @@ def detect_loop(
     min_gap: int = 30,
     min_score: float = 0.05,
     min_inliers: int = 25,
+    max_rmse: float = 2.0,
 ) -> LoopCandidate:
     """retrieve + verify in one jittable step."""
     cand, score = retrieve_candidate(kfs, query_slot, kf_counter, min_gap, min_score)
     out = verify_candidate(
-        kfs, lms, query_slot, cand, cam, tcfg, min_inliers=min_inliers
+        kfs, lms, query_slot, cand, cam, tcfg,
+        min_inliers=min_inliers, max_rmse=max_rmse,
     )
     return out._replace(score=score, accepted=out.accepted & (cand >= 0))

@@ -34,7 +34,7 @@ import numpy as np
 
 from ra_slam_tpu.core.camera import PinholeCamera
 from ra_slam_tpu.core.config import FeatureConfig, TrackingConfig
-from ra_slam_tpu.core.se3 import SE3
+from ra_slam_tpu.core.se3 import SE3, log_se3
 from ra_slam_tpu.features.orb import Keypoints, detect_and_describe
 from ra_slam_tpu.features.pyramid import rgb_to_gray
 from ra_slam_tpu.features.stereo import sparse_depth_image, stereo_keypoint_depth
@@ -80,6 +80,10 @@ class SlamState(NamedTuple):
     fs_relt: jax.Array  # [Fc, 3]
     fs_tracked: jax.Array  # [Fc] bool
     n_frames: jax.Array  # int32
+    # loop-closure temporal-consistency state (the DBoW2-style
+    # consecutive-detection requirement, SURVEY.md §2.8)
+    loop_prev_cand: jax.Array  # int32 candidate of the last detection
+    loop_streak: jax.Array  # int32 consecutive consistent detections
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,7 +98,13 @@ class StepParams:
     loop_min_gap: int = 30
     loop_min_score: float = 0.05
     loop_min_inliers: int = 25
+    loop_max_rmse: float = 2.0  # px, inlier reprojection gate
+    loop_consistency: int = 2  # consecutive consistent detections to close
+    loop_max_corr_t: float = 1.0  # m, max implied drift correction
+    loop_max_corr_r: float = 0.6  # rad
     reloc_min_inliers: int = 20
+    reloc_max_rmse: float = 3.0
+    reloc_min_score: float = 0.1
     pgo_iterations: int = 8
     gba_after_loop: bool = True
     gba_window: int = 16
@@ -114,6 +124,13 @@ class _InfoDev(NamedTuple):
     ba_rmse: jax.Array  # float32 (nan = BA not run)
     loop_closed: jax.Array  # bool
     relocalized: jax.Array  # bool
+    # loop-detection observability (last detection this frame; -1/nan
+    # when detection did not run)
+    loop_cand: jax.Array  # int32
+    loop_inliers: jax.Array  # int32
+    loop_rmse: jax.Array  # float32
+    loop_delta_t: jax.Array  # float32 implied correction (m)
+    loop_delta_r: jax.Array  # float32 (rad)
 
 
 class FrameInfo:
@@ -166,6 +183,23 @@ class FrameInfo:
     @property
     def relocalized(self) -> bool:
         return bool(self._pull().relocalized)
+
+    @property
+    def loop_cand(self) -> int:
+        return int(self._pull().loop_cand)
+
+    @property
+    def loop_inliers(self) -> int:
+        return int(self._pull().loop_inliers)
+
+    @property
+    def loop_rmse(self) -> float:
+        return float(self._pull().loop_rmse)
+
+    @property
+    def loop_delta(self) -> tuple:
+        h = self._pull()
+        return (float(h.loop_delta_t), float(h.loop_delta_r))
 
     def block(self) -> "FrameInfo":
         jax.block_until_ready(self._dev.t)
@@ -241,6 +275,8 @@ def _reloc_step(state: SlamState, kp: Keypoints, cam, tcfg, p: StepParams):
         state.kfs, state.track.lms, kp.desc, kp.valid, kp.uv,
         state.track.kf_counter, cam, tcfg,
         min_inliers=p.reloc_min_inliers,
+        max_rmse=p.reloc_max_rmse,
+        min_score=p.reloc_min_score,
     )
     acc = res.accepted
     track = state.track._replace(
@@ -328,6 +364,8 @@ def slam_frame_step(
             R=track.pose.R, t=track.pose.t, tracked=t_,
             num_inliers=i0, num_matches=i0, inserted_keyframe=t_,
             ba_rmse=nan, loop_closed=f, relocalized=f,
+            loop_cand=jnp.int32(-1), loop_inliers=i0,
+            loop_rmse=nan, loop_delta_t=nan, loop_delta_r=nan,
         )
         return st, info
 
@@ -380,8 +418,46 @@ def slam_frame_step(
                     cam=cam, tcfg=tcfg, min_gap=p.loop_min_gap,
                     min_score=p.loop_min_score,
                     min_inliers=p.loop_min_inliers,
+                    max_rmse=p.loop_max_rmse,
                 )
-                can = loop.accepted & (s2.n_edges < s2.edges.capacity)
+                # sanity: the implied drift correction must be small —
+                # a wrong-candidate closure on a self-similar scene
+                # demands a huge pose jump, a genuine one only the
+                # accumulated drift
+                safe_c = jnp.maximum(loop.cand, 0)
+                q_pose = SE3(s2.kfs.R[new_slot], s2.kfs.t[new_slot])
+                c_pose = SE3(s2.kfs.R[safe_c], s2.kfs.t[safe_c])
+                delta = log_se3(
+                    loop.rel_pose @ (q_pose @ c_pose.inverse()).inverse()
+                )
+                sane = (
+                    (jnp.linalg.norm(delta[3:]) <= p.loop_max_corr_t)
+                    & (jnp.linalg.norm(delta[:3]) <= p.loop_max_corr_r)
+                )
+                acc = loop.accepted & sane
+                # temporal consistency: require `loop_consistency`
+                # consecutive detections of (nearly) the same candidate
+                consistent = acc & (
+                    jnp.abs(loop.cand - s2.loop_prev_cand) <= 2
+                )
+                streak = jnp.where(
+                    consistent,
+                    s2.loop_streak + 1,
+                    jnp.where(acc, 1, 0),
+                )
+                close_now = (
+                    acc
+                    & (streak >= p.loop_consistency)
+                    & (s2.n_edges < s2.edges.capacity)
+                )
+                s2 = s2._replace(
+                    loop_prev_cand=jnp.where(acc, loop.cand, -(10**6)),
+                    loop_streak=jnp.where(close_now, 0, streak),
+                )
+                diag = (
+                    loop.cand, loop.num_inliers, loop.rmse,
+                    jnp.linalg.norm(delta[3:]), jnp.linalg.norm(delta[:3]),
+                )
 
                 def close(s3: SlamState):
                     s4 = _loop_close_step(s3, loop, new_slot, p)
@@ -391,21 +467,24 @@ def slam_frame_step(
                         gr = nan
                     return s4, t_, gr
 
-                return jax.lax.cond(
-                    can, close, lambda s3: (s3, f, nan), s2
+                s2, closed, gr = jax.lax.cond(
+                    close_now, close, lambda s3: (s3, f, nan), s2
                 )
+                return s2, closed, gr, diag
 
-            s, loop_closed, gba_rmse = jax.lax.cond(
+            no_diag = (jnp.int32(-1), jnp.int32(0), nan, nan, nan)
+            s, loop_closed, gba_rmse, ldiag = jax.lax.cond(
                 (kfc % p.loop_every_kf == 0) & (kfc >= 2),
                 do_loop,
-                lambda s2: (s2, f, nan),
+                lambda s2: (s2, f, nan, no_diag),
                 s,
             )
             ba_rmse = jnp.where(jnp.isnan(gba_rmse), ba_rmse, gba_rmse)
-            return s, (t_, ba_rmse, loop_closed)
+            return s, (t_, ba_rmse, loop_closed, ldiag)
 
-        st, (inserted, ba_rmse, loop_closed) = jax.lax.cond(
-            res.need_keyframe, do_kf, lambda s: (s, (f, nan, f)), st
+        no_diag = (jnp.int32(-1), jnp.int32(0), nan, nan, nan)
+        st, (inserted, ba_rmse, loop_closed, ldiag) = jax.lax.cond(
+            res.need_keyframe, do_kf, lambda s: (s, (f, nan, f, no_diag)), st
         )
 
         st = _record_stats(st)
@@ -415,6 +494,9 @@ def slam_frame_step(
             num_inliers=res.num_inliers, num_matches=res.num_matches,
             inserted_keyframe=inserted, ba_rmse=ba_rmse,
             loop_closed=loop_closed, relocalized=relocalized,
+            loop_cand=ldiag[0], loop_inliers=ldiag[1],
+            loop_rmse=ldiag[2], loop_delta_t=ldiag[3],
+            loop_delta_r=ldiag[4],
         )
         return st, info
 
@@ -440,6 +522,8 @@ def create_slam_state(
         fs_relt=jnp.zeros((max_frames, 3), jnp.float32),
         fs_tracked=jnp.zeros((max_frames,), bool),
         n_frames=jnp.int32(0),
+        loop_prev_cand=jnp.int32(-(10**6)),
+        loop_streak=jnp.int32(0),
     )
 
 
@@ -459,7 +543,13 @@ class SlamSystem:
         loop_min_gap: int = 30,
         loop_min_score: float = 0.05,
         loop_min_inliers: int = 25,
+        loop_max_rmse: float = 2.0,
+        loop_consistency: int = 2,
+        loop_max_corr_t: float = 1.0,
+        loop_max_corr_r: float = 0.6,
         reloc_min_inliers: int = 20,
+        reloc_max_rmse: float = 3.0,
+        reloc_min_score: float = 0.1,
         pgo_iterations: int = 8,
         gba_after_loop: bool = True,
         gba_window: int = 16,
@@ -479,7 +569,13 @@ class SlamSystem:
             loop_every_kf=loop_every_kf, loop_min_gap=loop_min_gap,
             loop_min_score=loop_min_score,
             loop_min_inliers=loop_min_inliers,
+            loop_max_rmse=loop_max_rmse,
+            loop_consistency=loop_consistency,
+            loop_max_corr_t=loop_max_corr_t,
+            loop_max_corr_r=loop_max_corr_r,
             reloc_min_inliers=reloc_min_inliers,
+            reloc_max_rmse=reloc_max_rmse,
+            reloc_min_score=reloc_min_score,
             pgo_iterations=pgo_iterations, gba_after_loop=gba_after_loop,
             gba_window=gba_window, gba_iterations=gba_iterations,
             gba_sweeps=gba_sweeps,

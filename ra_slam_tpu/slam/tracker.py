@@ -25,7 +25,12 @@ from ra_slam_tpu.core.config import TrackingConfig
 from ra_slam_tpu.core.se3 import SE3, exp_se3, log_se3
 from ra_slam_tpu.features.matching import hamming_matrix
 from ra_slam_tpu.features.orb import NUM_PAIRS, Keypoints
-from ra_slam_tpu.slam.landmarks import Landmarks, add_landmarks, record_observations
+from ra_slam_tpu.slam.landmarks import (
+    Landmarks,
+    add_landmarks,
+    cull_landmarks,
+    record_observations,
+)
 from ra_slam_tpu.slam.pnp import motion_only_gn
 
 
@@ -129,7 +134,19 @@ def track_frame(
         huber_delta=tcfg.huber_delta,
     )
 
-    ok = res.num_inliers >= tcfg.min_inliers
+    # acceptance gates (see TrackingConfig): inlier count, residual,
+    # single-frame jump vs the motion model, inlier/match ratio
+    jump = log_se3(res.pose @ pose_pred.inverse())
+    ok = (
+        (res.num_inliers >= tcfg.min_inliers)
+        & (res.rmse <= tcfg.max_track_rmse)
+        & (jnp.linalg.norm(jump[3:]) <= tcfg.max_pose_jump_t)
+        & (jnp.linalg.norm(jump[:3]) <= tcfg.max_pose_jump_r)
+        & (
+            res.num_inliers.astype(jnp.float32)
+            >= tcfg.min_inlier_ratio * jnp.maximum(n_match, 1).astype(jnp.float32)
+        )
+    )
     pose_new = jax.tree.map(
         lambda a, b: jnp.where(ok, a, b), res.pose, pose_pred
     )
@@ -194,20 +211,54 @@ def insert_keyframe_landmarks(
     d_bil, bvalid = bilinear_sample(depth, kp.uv)
     smooth = bvalid & (jnp.abs(d_bil - d_near) < 0.05 * jnp.maximum(d_near, 0.1))
     d = jnp.where(smooth, d_bil, d_near)
-    new_mask = (
-        kp.valid
-        & (lm_idx < 0)
-        & dvalid
-        & (d > tcfg.min_depth)
-        & (d < tcfg.max_depth)
+    has_depth = dvalid & (d > tcfg.min_depth) & (d < tcfg.max_depth)
+
+    # Landmark fusion (OpenVSLAM local-mapping "fuse"): before spawning a
+    # landmark for an unmatched feature, re-search the whole map with a
+    # WIDE pixel gate + descriptor + depth agreement. Without this, every
+    # revisit of a drifted region duplicates its landmarks into a second
+    # inconsistent sheet that splits future inlier sets.
+    p_cam_lm = state.pose.apply(state.lms.pos)  # [M, 3]
+    uv_lm, z_lm = cam.project(p_cam_lm)
+    hd = hamming_matrix(kp.desc, state.lms.desc)  # [F, M]
+    d2 = jnp.sum((kp.uv[:, None, :] - uv_lm[None, :, :]) ** 2, axis=-1)
+    depth_ok = (
+        jnp.abs(z_lm[None, :] - d[:, None])
+        <= tcfg.fuse_depth_ratio * d[:, None] + 0.05
     )
+    gate = (
+        state.lms.valid[None, :]
+        & (z_lm[None, :] > 0.05)
+        & (d2 <= float(tcfg.fuse_radius) ** 2)
+        & depth_ok
+    )
+    hd = jnp.where(gate, hd, jnp.inf)
+    fuse_best = jnp.argmin(hd, axis=1).astype(jnp.int32)
+    fuse_ok = (
+        has_depth
+        & kp.valid
+        & (jnp.min(hd, axis=1) <= tcfg.fuse_hamming_max)
+    )
+    eff_idx = jnp.where(
+        lm_idx >= 0, lm_idx, jnp.where(fuse_ok, fuse_best, -1)
+    )
+
+    new_mask = kp.valid & (eff_idx < 0) & has_depth
     p_cam = cam.unproject(kp.uv, d)
     p_world = state.pose.inverse().apply(p_cam)
 
     lms, new_ids = add_landmarks(
         state.lms, p_world, kp.desc, new_mask, state.kf_counter
     )
-    obs_lm = jnp.where(lm_idx >= 0, lm_idx, new_ids)
+    # fused re-observations count as sightings (keeps them from culling)
+    lms = record_observations(
+        lms, eff_idx, (eff_idx >= 0) & kp.valid, state.kf_counter
+    )
+    lms = cull_landmarks(
+        lms, state.kf_counter,
+        min_obs=tcfg.cull_min_obs, max_age=tcfg.cull_max_age,
+    )
+    obs_lm = jnp.where(eff_idx >= 0, eff_idx, new_ids)
 
     new_state = state._replace(
         lms=lms,

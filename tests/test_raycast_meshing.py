@@ -41,7 +41,7 @@ def fused_wall_map(n_frames=3, z=1.0):
 
 def test_raycast_hits_wall_at_right_depth():
     m = fused_wall_map(4)
-    out = raycast(m, CAM, SE3.identity(), CFG, grid_extent=64)
+    out = raycast(m, CAM, SE3.identity(), CFG)
     hit = np.asarray(out["hit"])
     depth = np.asarray(out["depth"])
     # central region must hit
@@ -62,7 +62,7 @@ def test_raycast_from_offset_pose():
     # camera moved 0.2m back: wall should appear at depth 1.2
     world_T_cam = exp_se3(jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, -0.2]))
     cam_T_world = world_T_cam.inverse()
-    out = raycast(m, CAM, cam_T_world, CFG, grid_extent=64)
+    out = raycast(m, CAM, cam_T_world, CFG)
     hit = np.asarray(out["hit"])[20:28, 28:36]
     depth = np.asarray(out["depth"])[20:28, 28:36]
     assert hit.mean() > 0.9
@@ -71,7 +71,7 @@ def test_raycast_from_offset_pose():
 
 def test_raycast_misses_empty_map():
     m = create_map(CFG)
-    out = raycast(m, CAM, SE3.identity(), CFG, grid_extent=32)
+    out = raycast(m, CAM, SE3.identity(), CFG)
     assert not np.asarray(out["hit"]).any()
     assert (np.asarray(out["depth"]) == 0).all()
 

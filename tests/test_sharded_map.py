@@ -121,8 +121,8 @@ def test_sharded_gather_export_mesh_raycast():
     )
 
     # raycast equality on the same virtual view
-    oa = raycast(mg, cam, pose, gcfg, grid_extent=64)
-    ob = raycast(m1, cam, pose, cfg, grid_extent=64)
+    oa = raycast(mg, cam, pose, gcfg)
+    ob = raycast(m1, cam, pose, cfg)
     np.testing.assert_allclose(
         np.asarray(oa["depth"]), np.asarray(ob["depth"]), atol=1e-5
     )
