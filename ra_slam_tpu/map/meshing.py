@@ -92,6 +92,9 @@ _NBR_OFFS = np.array(
 
 MAX_TRIS_PER_BLOCK = BLOCK_LEN**3 * 12  # 6 tets x 2 tris per cube
 
+# triangles emitted per tet inside-case (0, 1 or 2) — for the sizing pass
+_TET_TRI_COUNT = (_TET_TRIS[:, :, 0] >= 0).sum(axis=1).astype(np.int32)
+
 
 def _to_xyz(flat_block: jax.Array) -> jax.Array:
     """[512(,C)] voxel payload (idx = x + 8y + 64z) -> [8,8,8(,C)] xyz grid."""
@@ -214,6 +217,68 @@ def _mesh_block(tsdf9, weight9, prob9, base_voxel, voxel_size, min_weight):
         valid.reshape(-1),
         edge.reshape(-1, 2, 3),
     )
+
+
+def _count_block(tsdf9, weight9, min_weight):
+    """Exact triangle count for one block from its halo grids — the
+    sizing pass (the analog of the reference's count-then-gather
+    prefix-sum scheme, `/root/reference/utils/tsdf/voxel_tsdf.cu:736-845`,
+    which also runs the kernel once to count before compaction)."""
+
+    def corners(g):
+        return jnp.stack(
+            [
+                g[cx : cx + 8, cy : cy + 8, cz : cz + 8]
+                for cx, cy, cz in _CORNER_OFFS.astype(np.int32)
+            ],
+            axis=-1,
+        )
+
+    ct = corners(tsdf9).reshape(-1, 8)
+    cw = corners(weight9).reshape(-1, 8)
+    cube_ok = jnp.all(cw >= min_weight, axis=-1)
+    counts = jnp.asarray(_TET_TRI_COUNT)
+    total = jnp.int32(0)
+    for tet in _TETS:
+        t4 = ct[:, tet]
+        inside = (t4 < 0).astype(jnp.int32)
+        case = inside[:, 0] + 2 * inside[:, 1] + 4 * inside[:, 2] + 8 * inside[:, 3]
+        total = total + jnp.sum(jnp.where(cube_ok, counts[case], 0))
+    return total
+
+
+@partial(jax.jit, static_argnames=("min_weight", "chunk"))
+def _count_device(m: VoxelMap, min_weight: float, chunk: int) -> jax.Array:
+    """Total isosurface triangle count of the whole map (one scalar)."""
+    N = m.num_blocks
+    act = m.active
+    rank = jnp.cumsum(act.astype(jnp.int32)) - 1
+    dest = jnp.where(act, rank, N)
+    order = jnp.full((N,), -1, jnp.int32).at[dest].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    )
+    n_chunks = (N + chunk - 1) // chunk
+    pad = n_chunks * chunk - N
+    chunks = jnp.concatenate(
+        [order, jnp.full((pad,), -1, jnp.int32)]
+    ).reshape(n_chunks, chunk)
+
+    def body(total, bidx):
+        keys = jnp.where(bidx >= 0, m.block_key[jnp.maximum(bidx, 0)], 0)
+        coords = unpack_block_coords(keys)
+        nbr_keys = pack_block_coords(
+            coords[:, None, :] + jnp.asarray(_NBR_OFFS)[None]
+        )
+        nbr_idx = ht_lookup(m.table, nbr_keys.reshape(-1)).reshape(
+            nbr_keys.shape
+        )
+        t9 = _gather_halo(m, bidx, nbr_idx, m.tsdf, 1.0)
+        w9 = _gather_halo(m, bidx, nbr_idx, m.weight, 0.0)
+        c = jax.vmap(lambda a, b: _count_block(a, b, min_weight))(t9, w9)
+        return total + jnp.sum(jnp.where(bidx >= 0, c, 0)), None
+
+    total, _ = jax.lax.scan(body, jnp.int32(0), chunks)
+    return total
 
 
 def _pack_edge_keys(edges: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -382,24 +447,33 @@ def extract_mesh(
     like the reference's vertex-ownership + compaction scheme
     (`/root/reference/utils/tsdf/voxel_tsdf.cu:561-734`) instead of 3T.
 
-    One device program + one compact D2H transfer; raises if the map's
-    surface exceeds `max_tris` (call again with a bigger budget).
+    Two device programs: a cheap exact *count* pass sizes the triangle
+    buffers to the measured surface (power-of-two buckets, so recompiles
+    are rare), then the emission pass runs at that size. This keeps peak
+    device memory proportional to the actual isosurface instead of the
+    `max_tris` worst case — round 2 shipped a fixed 1<<22-triangle
+    buffer plus 12.6M-row dedup arrays, which RESOURCE_EXHAUSTED-ed the
+    chip at bench scale; a surface beyond `max_tris` now raises a clean
+    ValueError instead of a device OOM.
     """
-    uniq_v, uniq_p, inverse, n_tris, n_verts = _mesh_device(
-        m, cfg.voxel_size, min_weight, chunk, max_tris
-    )
-    n = int(n_tris)
-    if n > max_tris:
-        raise ValueError(
-            f"mesh overflow: {n} triangles > max_tris={max_tris}"
-        )
-    v = int(n_verts)
+    n = int(_count_device(m, min_weight, chunk))
     if n == 0:
         return (
             np.zeros((0, 3), np.float32),
             np.zeros((0, 3), np.int32),
             np.zeros((0,), np.float32),
         )
+    if n > max_tris:
+        raise ValueError(
+            f"mesh overflow: map surface has {n} triangles > "
+            f"max_tris={max_tris}; raise the budget or raise min_weight"
+        )
+    cap = 1 << max(14, (n - 1).bit_length())
+    cap = min(cap, max(max_tris, n))
+    uniq_v, uniq_p, inverse, n_tris, n_verts = _mesh_device(
+        m, cfg.voxel_size, min_weight, chunk, cap
+    )
+    v = int(n_verts)
     vertices = np.asarray(uniq_v[:v])
     probs = np.asarray(uniq_p[:v])
     indices = np.asarray(inverse[:n])

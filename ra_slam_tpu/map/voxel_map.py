@@ -327,7 +327,12 @@ def integrate(
     uc = jnp.clip(ui, 0, W - 1)
     vc = jnp.clip(vi, 0, H - 1)
 
-    # --- tiled mip atlas: levels 0..3, nearest-subsampled (strided).
+    # --- tiled mip atlas: nearest-subsampled (strided) levels.
+    # Enough levels that ANY in-bounds footprint fits a tile:
+    # span <= max(W,H)-1 and level l covers span < (1<<l)*P, so
+    # n_levels = ceil(log2(max(W,H)/P)) + 1 guarantees span>>lvl <= P-1
+    # always holds — near-camera blocks included (a fixed 4-level
+    # pyramid silently dropped voxels of blocks spanning > 127 px).
     # Nearest keeps every sample a true sensor value (no depth averaging
     # across silhouettes); near blocks just read a sparser pixel subset,
     # which matches their voxel-per-pixel density anyway. Each level is
@@ -343,9 +348,10 @@ def integrate(
         ],
         axis=-1,
     )  # [H, W, 6]
+    n_levels = max(1, (max(H, W) + P - 1) // P - 1).bit_length() + 1
     tile_arrays, tile_off_l, ntx_l, hs_l, ws_l = [], [], [], [], []
     n_tiles = 0
-    for l in range(4):
+    for l in range(n_levels):
         s = 1 << l
         band = img6[::s, ::s]
         h_l, w_l = band.shape[0], band.shape[1]
@@ -389,11 +395,9 @@ def integrate(
     umin = jnp.where(any_valid, jnp.maximum(umin, 0), 0)
     vmin = jnp.where(any_valid, jnp.maximum(vmin, 0), 0)
     span = jnp.maximum(umax - umin, vmax - vmin)  # [V]
-    lvl = (
-        (span > P - 1).astype(jnp.int32)
-        + (span > 2 * P - 1).astype(jnp.int32)
-        + (span > 4 * P - 1).astype(jnp.int32)
-    )
+    lvl = jnp.zeros_like(span)
+    for l in range(n_levels - 1):
+        lvl = lvl + ((span > (1 << l) * P - 1)).astype(jnp.int32)
 
     u0 = jnp.clip(umin >> lvl, 0, jnp.maximum(level_w[lvl] - 1, 0))
     v0 = jnp.clip(vmin >> lvl, 0, jnp.maximum(level_h[lvl] - 1, 0))

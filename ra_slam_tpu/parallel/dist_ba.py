@@ -36,6 +36,7 @@ from ra_slam_tpu.slam.ba import (
     _residuals,
     _robust_weight,
     _weighted_rmse,
+    clamp_twist,
     gather_window,
     scatter_window,
     _FIX_PRIOR,
@@ -125,11 +126,13 @@ def _solve_shard(
             S.reshape(W * 6, W * 6), rhs.reshape(W * 6)
         ).reshape(W, 6)
         dxi = jnp.where(jnp.all(jnp.isfinite(dxi)), dxi, jnp.zeros_like(dxi))
-        dxi = dxi * win.kf_free[:, None]
+        dxi = clamp_twist(dxi) * win.kf_free[:, None]
 
         Ud = jnp.einsum("lkab,ka->lb", U, dxi, precision=_HIGH)
         dx = -jnp.einsum("lab,lb->la", Hinv, gl + Ud, precision=_HIGH)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dxn = jnp.linalg.norm(dx, axis=-1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, 0.5 / jnp.maximum(dxn, 1e-9))
         dx = dx * occupied[:, None]
 
         return exp_se3(dxi) @ poses, points + dx
@@ -185,6 +188,7 @@ def solve_window_distributed(
         num_obs=jnp.sum((win.obs_w > 0).astype(jnp.int32)),
         rmse_before=rmse0,
         rmse_after=rmse1,
+        points_dropped=win.points_dropped,
     )
     return poses, points, stats
 

@@ -35,7 +35,6 @@ from ra_slam_tpu.core.camera import PinholeCamera
 from ra_slam_tpu.core.se3 import SE3, exp_se3
 from ra_slam_tpu.slam.keyframes import Keyframes
 from ra_slam_tpu.slam.landmarks import Landmarks
-from ra_slam_tpu.slam.pnp import reprojection_residuals
 
 _HIGH = jax.lax.Precision.HIGHEST
 _FIX_PRIOR = 1e8  # diagonal prior that pins a pose (g2o set_fixed analog)
@@ -55,6 +54,12 @@ class BAWindow(NamedTuple):
     obs_l: jax.Array  # [N] int32 local landmark index
     obs_uv: jax.Array  # [N, 2] float32
     obs_w: jax.Array  # [N] float32 (0 = invalid)
+    obs_z: jax.Array  # [N] float32 measured depth (0 = none)
+    # unique window landmarks that did NOT fit max_points: their
+    # observations are dropped AND their positions stay stale while the
+    # window poses move — a nonzero value here silently shears the map,
+    # so it must be observable (repo principle: count, don't truncate)
+    points_dropped: jax.Array  # int32
 
 
 class BAStats(NamedTuple):
@@ -63,6 +68,7 @@ class BAStats(NamedTuple):
     num_obs: jax.Array
     rmse_before: jax.Array
     rmse_after: jax.Array
+    points_dropped: jax.Array  # unique landmarks beyond max_points
 
 
 def gather_window(
@@ -72,6 +78,7 @@ def gather_window(
     window: int,
     max_points: int,
     start: jax.Array | None = None,
+    n_fixed: int = 0,
 ) -> BAWindow:
     """Extract a `window` of keyframes + their landmarks (static shapes).
 
@@ -80,18 +87,30 @@ def gather_window(
     newest `window` keyframes (local BA); pass `start` to window an
     arbitrary range (global-BA sweeps). The oldest row is marked fixed
     to anchor the gauge.
+
+    `n_fixed` (local BA only) prepends that many older keyframes as
+    pose-FIXED rows that still contribute their observations — the
+    fixed-observer constraints of a proper local BA (OpenVSLAM keeps
+    every keyframe observing a local landmark in the problem as a fixed
+    vertex; SURVEY.md §2.8). Without them the landmark update fits only
+    the newest (drifted) views, and the map drifts with the odometry —
+    measured on the orbit benchmark this tripled ATE (0.072 -> 0.297 m)
+    and destabilized post-keyframe tracking.
     """
-    W, L = window, max_points
+    W, L = window + n_fixed, max_points
     F = kfs.num_features
     if start is None:
-        start = jnp.maximum(kf_counter - W, 0)
+        free_start = jnp.maximum(kf_counter - window, 0)
+        start = jnp.maximum(free_start - n_fixed, 0)
+    else:
+        free_start = start + 1  # GBA chunk: oldest row anchors
     slot = start + jnp.arange(W, dtype=jnp.int32)
     kf_ok = slot < kf_counter
     slot_c = jnp.minimum(slot, kfs.capacity - 1)
 
     poses = SE3(kfs.R[slot_c], kfs.t[slot_c])
-    # oldest row anchors the gauge; padded rows are never free
-    kf_free = kf_ok & (jnp.arange(W) > 0)
+    # fixed observers + keyframe 0 anchor the gauge; padding never free
+    kf_free = kf_ok & (slot >= free_start) & (slot > 0)
 
     # --- local landmark set: sorted-unique of the window's observed ids
     gid = jnp.where(kf_ok[:, None], kfs.obs_lm[slot_c], -1).reshape(-1)  # [W*F]
@@ -102,6 +121,7 @@ def gather_window(
         [jnp.array([True]), sorted_gid[1:] != sorted_gid[:-1]]
     ) & (sorted_gid < _INT_MAX)
     rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # unique rank
+    points_dropped = jnp.sum((is_first & (rank >= L)).astype(jnp.int32))
     dest = jnp.where(is_first & (rank < L), rank, L)
     loc2glob = jnp.full((L,), _INT_MAX, jnp.int32)
     loc2glob = loc2glob.at[dest].set(sorted_gid, mode="drop")
@@ -119,6 +139,7 @@ def gather_window(
     obs_k = jnp.repeat(jnp.arange(W, dtype=jnp.int32), F)
     obs_uv = kfs.obs_uv[slot_c].reshape(-1, 2)
     obs_w = jnp.where(hit, w_obs, 0.0)
+    obs_z = kfs.obs_z[slot_c].reshape(-1)
 
     return BAWindow(
         kf_slot=slot_c,
@@ -131,6 +152,8 @@ def gather_window(
         obs_l=obs_l,
         obs_uv=obs_uv,
         obs_w=obs_w,
+        obs_z=obs_z,
+        points_dropped=points_dropped,
     )
 
 
@@ -139,20 +162,84 @@ def _robust_weight(r2: jax.Array, delta: float) -> jax.Array:
     return jnp.where(r <= delta, 1.0, delta / r)
 
 
+def clamp_twist(dxi: jax.Array, max_r: float = 0.5, max_t: float = 0.5):
+    """Trust-region step clamp on [..., 6] twists [w, v].
+
+    The solvers run fixed-damping GN (no LM lambda adaptation); a
+    near-singular window or a batch of inconsistent observations can
+    otherwise produce an unbounded step that detonates the keyframe DB
+    (g2o's adaptive lambda plays this role in the reference's backend)."""
+    r, t = dxi[..., :3], dxi[..., 3:]
+    rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    tn = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    r = r * jnp.minimum(1.0, max_r / jnp.maximum(rn, 1e-9))
+    t = t * jnp.minimum(1.0, max_t / jnp.maximum(tn, 1e-9))
+    return jnp.concatenate([r, t], axis=-1)
+
+
+_DEPTH_SIGMA = 0.01  # relative depth noise: sigma_z = _DEPTH_SIGMA * z
+
+
 def _residuals(
     poses: SE3, points: jax.Array, win: BAWindow, cam: PinholeCamera
 ):
-    """Flat residuals + Jacobians for every observation.
+    """Flat RGB-D residuals + Jacobians for every observation.
 
-    Returns r [N,2], J_p [N,2,6] (wrt left-mult pose twist), J_x [N,2,3]
+    Rows are [r_u, r_v, r_d]: 2D reprojection (px) plus the measured-
+    depth residual normalized to pixel-comparable sigma,
+    ``r_d = (z_pred - z_meas) / (_DEPTH_SIGMA * z_meas)`` — OpenVSLAM's
+    RGB-D/stereo constraint (SURVEY.md §2.8). Observations without
+    depth get a zero row (not zero weight — the 2D rows still count).
+
+    Returns r [N,3], J_p [N,3,6] (wrt left-mult pose twist), J_x [N,3,3]
     (wrt world point), ok [N].
     """
     pose_n = jax.tree.map(lambda a: a[win.obs_k], poses)  # [N] SE3
     pts_n = points[win.obs_l]  # [N, 3]
-    r, J_p, ok = reprojection_residuals(pose_n, pts_n, win.obs_uv, cam)
-    # dp/dX = R (camera-point wrt world-point); d(uv)/dX = J_proj @ R.
-    # J_p[..., 3:] is exactly J_proj (the translation columns), so reuse it.
-    J_x = jnp.matmul(J_p[..., 3:], pose_n.R, precision=_HIGH)  # [N, 2, 3]
+    p = pose_n.apply(pts_n)  # [N, 3] camera frame
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    ok = z > 1e-6
+    zs = jnp.where(ok, z, 1.0)
+    inv_z = 1.0 / zs
+    u = x * inv_z * cam.fx + cam.cx
+    v = y * inv_z * cam.fy + cam.cy
+    has_z = (win.obs_z > 1e-6).astype(p.dtype)
+    zm = jnp.where(win.obs_z > 1e-6, win.obs_z, 1.0)
+    dscale = has_z / (_DEPTH_SIGMA * zm)
+    r = jnp.stack(
+        [
+            u - win.obs_uv[..., 0],
+            v - win.obs_uv[..., 1],
+            (zs - zm) * dscale,
+        ],
+        axis=-1,
+    )  # [N, 3]
+
+    fx, fy = cam.fx, cam.fy
+    zero = jnp.zeros_like(x)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * x * inv_z * inv_z], -1),
+            jnp.stack([zero, fy * inv_z, -fy * y * inv_z * inv_z], -1),
+            jnp.stack([zero, zero, dscale], -1),
+        ],
+        -2,
+    )  # [N, 3, 3] d(residual)/d(p_cam)
+
+    # dp/dxi for left-multiplied exp(xi) T: dp = -[p]x w + v
+    px = jnp.stack(
+        [
+            jnp.stack([zero, z, -y], -1),
+            jnp.stack([-z, zero, x], -1),
+            jnp.stack([y, -x, zero], -1),
+        ],
+        -2,
+    )  # [N, 3, 3] = -[p]_x
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), px.shape)
+    J_pxi = jnp.concatenate([px, eye], axis=-1)  # [N, 3, 6]
+    J_p = jnp.matmul(J_proj, J_pxi, precision=_HIGH)  # [N, 3, 6]
+    # dp/dX = R (camera-point wrt world-point)
+    J_x = jnp.matmul(J_proj, pose_n.R, precision=_HIGH)  # [N, 3, 3]
     return r, J_p, J_x, ok
 
 
@@ -235,12 +322,14 @@ def solve_window(
             S.reshape(W * 6, W * 6), rhs.reshape(W * 6)
         ).reshape(W, 6)
         dxi = jnp.where(jnp.all(jnp.isfinite(dxi)), dxi, jnp.zeros_like(dxi))
-        dxi = dxi * win.kf_free[:, None]
+        dxi = clamp_twist(dxi) * win.kf_free[:, None]
 
         # back-substitute landmark updates: dl = -Hinv (gl + U dxi)
         Ud = jnp.einsum("lkab,ka->lb", U, dxi, precision=_HIGH)  # [L, 3]
         dx = -jnp.einsum("lab,lb->la", Hinv, gl + Ud, precision=_HIGH)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dxn = jnp.linalg.norm(dx, axis=-1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, 0.5 / jnp.maximum(dxn, 1e-9))
         dx = dx * occupied[:, None]
 
         return exp_se3(dxi) @ poses, points + dx
@@ -261,6 +350,7 @@ def solve_window(
         num_obs=jnp.sum((win.obs_w > 0).astype(jnp.int32)),
         rmse_before=rmse0,
         rmse_after=rmse1,
+        points_dropped=win.points_dropped,
     )
     return poses, points, stats
 
@@ -311,7 +401,10 @@ def global_bundle_adjustment(
     """
     stride_ = stride if stride is not None else max(window // 2, 1)
     last_start = jnp.maximum(kf_counter - window, 0)
-    n_chunks = last_start // stride_ + 1  # dynamic; >= 1
+    # ceil division: when last_start is not a stride multiple the extra
+    # chunk lands exactly on last_start (the min() below clamps it), so
+    # the newest keyframes are always covered by a window
+    n_chunks = (last_start + stride_ - 1) // stride_ + 1  # dynamic; >= 1
 
     def chunk_step(c, carry):
         kfs_c, lms_c, sq, n = carry
@@ -346,6 +439,7 @@ def global_bundle_adjustment(
         num_obs=(n / jnp.float32(sweeps)).astype(jnp.int32),
         rmse_before=rmse[0],
         rmse_after=rmse[1],
+        points_dropped=jnp.int32(0),
     )
     return kfs, lms, stats
 
@@ -359,9 +453,12 @@ def local_bundle_adjustment(
     max_points: int = 4096,
     iterations: int = 8,
     huber_delta: float = 3.0,
+    n_fixed: int = 4,
 ) -> Tuple[Keyframes, Landmarks, BAStats]:
     """Gather → solve → scatter: the full local BA step (jit-able)."""
-    win = gather_window(kfs, lms, kf_counter, window, max_points)
+    win = gather_window(
+        kfs, lms, kf_counter, window, max_points, n_fixed=n_fixed
+    )
     poses, points, stats = solve_window(
         win, cam, iterations=iterations, huber_delta=huber_delta
     )

@@ -30,6 +30,13 @@ class Keyframes(NamedTuple):
     obs_lm: jax.Array  # [K, F] int32 landmark index (-1 = none)
     obs_uv: jax.Array  # [K, F, 2] float32 pixel
     obs_w: jax.Array  # [K, F] float32 weight (0 = invalid slot)
+    # measured keyframe-camera depth of the observation (0 = no depth).
+    # Gives BA its RGB-D depth residual (OpenVSLAM's stereo/depth
+    # constraint): pure 2D reprojection barely constrains landmark
+    # depth under the small in-window parallax of a sweeping camera,
+    # and BA without it dissolves the sensor depth the landmarks were
+    # created from (measured: 2-4x drift growth on the orbit bench).
+    obs_z: jax.Array  # [K, F] float32
     desc: jax.Array  # [K, F, 8] uint32 feature descriptors
     embed: jax.Array  # [K, 256] float32 mean +-1 descriptor (loop retrieval)
 
@@ -56,6 +63,7 @@ def create_keyframes(capacity: int, num_features: int) -> Keyframes:
         obs_lm=jnp.full((K, F), -1, jnp.int32),
         obs_uv=jnp.zeros((K, F, 2), jnp.float32),
         obs_w=jnp.zeros((K, F), jnp.float32),
+        obs_z=jnp.zeros((K, F), jnp.float32),
         desc=jnp.zeros((K, F, 8), jnp.uint32),
         embed=jnp.zeros((K, 256), jnp.float32),
     )
@@ -71,11 +79,14 @@ def insert_keyframe(
     obs_uv: jax.Array,  # [F, 2]
     obs_w: jax.Array,  # [F]
     desc: jax.Array,  # [F, 8] uint32
+    obs_z: jax.Array | None = None,  # [F] measured depth (0 = none)
 ) -> Keyframes:
     """Write one keyframe at `slot` (functional, jit-safe)."""
     pm1 = unpack_pm1(desc)  # [F, 256]
     wsum = jnp.maximum(jnp.sum(obs_w > 0), 1)
     embed = jnp.sum(jnp.where((obs_w > 0)[:, None], pm1, 0.0), axis=0) / wsum
+    if obs_z is None:
+        obs_z = jnp.zeros(obs_w.shape, jnp.float32)
     return Keyframes(
         R=kfs.R.at[slot].set(pose.R),
         t=kfs.t.at[slot].set(pose.t),
@@ -85,6 +96,7 @@ def insert_keyframe(
         obs_lm=kfs.obs_lm.at[slot].set(obs_lm),
         obs_uv=kfs.obs_uv.at[slot].set(obs_uv),
         obs_w=kfs.obs_w.at[slot].set(obs_w),
+        obs_z=kfs.obs_z.at[slot].set(obs_z),
         desc=kfs.desc.at[slot].set(desc),
         embed=kfs.embed.at[slot].set(embed),
     )

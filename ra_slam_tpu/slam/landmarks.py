@@ -21,6 +21,12 @@ class Landmarks(NamedTuple):
     valid: jax.Array  # [M] bool
     n_obs: jax.Array  # [M] int32 times observed (matched as inlier)
     last_seen: jax.Array  # [M] int32 keyframe counter at last inlier match
+    # keyframe counter at creation — the landmark's reference keyframe.
+    # Loop corrections move a landmark with THIS keyframe (OpenVSLAM's
+    # ref-keyframe rule): a landmark created early and re-observed
+    # during a drifted revisit must stay with the early map, not jump
+    # with the revisit keyframe's large correction.
+    anchor: jax.Array  # [M] int32
 
     @property
     def capacity(self) -> int:
@@ -34,6 +40,7 @@ def create_landmarks(capacity: int) -> Landmarks:
         valid=jnp.zeros((capacity,), bool),
         n_obs=jnp.zeros((capacity,), jnp.int32),
         last_seen=jnp.zeros((capacity,), jnp.int32),
+        anchor=jnp.zeros((capacity,), jnp.int32),
     )
 
 
@@ -69,6 +76,7 @@ def add_landmarks(
             valid=lms.valid.at[widx].set(True, mode="drop"),
             n_obs=lms.n_obs.at[widx].set(1, mode="drop"),
             last_seen=lms.last_seen.at[widx].set(kf_counter, mode="drop"),
+            anchor=lms.anchor.at[widx].set(kf_counter, mode="drop"),
         ),
         jnp.where(ok, slot, -1),
     )

@@ -112,6 +112,10 @@ def motion_only_gn(
         dxi = jnp.where(jnp.all(jnp.isfinite(dxi)), dxi, jnp.zeros_like(dxi))
         return exp_se3(dxi) @ pose
 
+    # NOTE: unrolled on purpose — measured on jax 0.9 CPU/TPU, lowering
+    # this as a rolled while-loop under the fused step's lax.cond tree
+    # ballooned compile time from ~145 s to >9 min; straight-line code
+    # compiles far faster here.
     pose = jax.lax.fori_loop(0, iterations, body, pose0, unroll=True)
 
     r, _, ok = reprojection_residuals(pose, pts_world, uv_obs, cam)

@@ -94,11 +94,16 @@ class StepParams:
     ba_max_points: int = 4096
     ba_iterations: int = 6
     ba_every_kf: int = 1
+    ba_fixed: int = 4  # fixed-observer keyframes prepended to the window
     loop_every_kf: int = 5
     loop_min_gap: int = 30
     loop_min_score: float = 0.05
     loop_min_inliers: int = 25
-    loop_max_rmse: float = 2.0  # px, inlier reprojection gate
+    # px, inlier reprojection gate. A genuine closure across the full
+    # drift of a revisit measures 2.3-2.6 px on the orbit benchmark;
+    # 2.0 rejected every real loop while the inlier-count gate already
+    # rejects wrong candidates.
+    loop_max_rmse: float = 3.0
     loop_consistency: int = 2  # consecutive consistent detections to close
     loop_max_corr_t: float = 1.0  # m, max implied drift correction
     loop_max_corr_r: float = 0.6  # rad
@@ -131,6 +136,10 @@ class _InfoDev(NamedTuple):
     loop_rmse: jax.Array  # float32
     loop_delta_t: jax.Array  # float32 implied correction (m)
     loop_delta_r: jax.Array  # float32 (rad)
+    # tracking acceptance-gate observability
+    track_rmse: jax.Array  # float32 inlier reprojection rmse (px)
+    jump_t: jax.Array  # float32 pose jump vs motion model (m)
+    jump_r: jax.Array  # float32 (rad)
 
 
 class FrameInfo:
@@ -249,7 +258,7 @@ def _ba_step(state: SlamState, cam, p: StepParams):
     kfs, lms, stats = local_bundle_adjustment(
         state.kfs, lms=state.track.lms, kf_counter=state.track.kf_counter,
         cam=cam, window=p.ba_window, max_points=p.ba_max_points,
-        iterations=p.ba_iterations,
+        iterations=p.ba_iterations, n_fixed=p.ba_fixed,
     )
     return _propagate_kf_correction(state, old_kf, kfs, lms), stats.rmse_after
 
@@ -350,13 +359,13 @@ def slam_frame_step(
     i0 = jnp.int32(0)
 
     def init_branch(st: SlamState):
-        track, lm_idx = initialize_from_frame(
+        track, lm_idx, obs_z = initialize_from_frame(
             st.track, kp, depth, cam=cam, pose=pose0, tcfg=tcfg
         )
         obs_w = (kp.valid & (lm_idx >= 0)).astype(jnp.float32)
         kfs = insert_keyframe(
             st.kfs, jnp.int32(0), track.pose, fid, ts,
-            lm_idx, kp.uv, obs_w, kp.desc,
+            lm_idx, kp.uv, obs_w, kp.desc, obs_z,
         )
         st = st._replace(track=track, kfs=kfs)
         st = _record_stats(st)
@@ -366,6 +375,7 @@ def slam_frame_step(
             ba_rmse=nan, loop_closed=f, relocalized=f,
             loop_cand=jnp.int32(-1), loop_inliers=i0,
             loop_rmse=nan, loop_delta_t=nan, loop_delta_r=nan,
+            track_rmse=nan, jump_t=nan, jump_r=nan,
         )
         return st, info
 
@@ -382,13 +392,22 @@ def slam_frame_step(
 
         def do_kf(s: SlamState):
             slot = s.track.kf_counter
-            track2, obs_lm = insert_keyframe_landmarks(
+            track2, obs_lm, obs_z = insert_keyframe_landmarks(
                 s.track, kp, depth, res.lm_idx, cam, tcfg
             )
-            obs_w = (kp.valid & (obs_lm >= 0)).astype(jnp.float32)
+            # BA observation gate: a feature matched by the tracker only
+            # becomes a BA constraint if the motion-only GN accepted it
+            # as an inlier — outlier matches (descriptor aliasing inside
+            # the projective gate) otherwise enter the problem with
+            # weight 1 forever and steadily shear the window (huber
+            # bounds, but does not kill, a 20 px-wrong row).
+            track_ok = jnp.where(res.lm_idx >= 0, res.inlier, True)
+            obs_w = (kp.valid & (obs_lm >= 0) & track_ok).astype(
+                jnp.float32
+            )
             kfs = insert_keyframe(
                 s.kfs, slot, track2.pose, fid, ts,
-                obs_lm, kp.uv, obs_w, kp.desc,
+                obs_lm, kp.uv, obs_w, kp.desc, obs_z,
             )
             s = s._replace(track=track2, kfs=kfs)
             kfc = track2.kf_counter
@@ -404,6 +423,8 @@ def slam_frame_step(
 
             if p.ba_every_kf == 1:
                 s, ba_rmse = _ba_step(s, cam, p)
+            elif p.ba_every_kf <= 0:  # statically disabled (ablations)
+                ba_rmse = nan
             else:
                 s, ba_rmse = jax.lax.cond(
                     kfc % p.ba_every_kf == 0,
@@ -497,6 +518,7 @@ def slam_frame_step(
             loop_cand=ldiag[0], loop_inliers=ldiag[1],
             loop_rmse=ldiag[2], loop_delta_t=ldiag[3],
             loop_delta_r=ldiag[4],
+            track_rmse=res.rmse, jump_t=res.jump_t, jump_r=res.jump_r,
         )
         return st, info
 
@@ -539,11 +561,12 @@ class SlamSystem:
         ba_max_points: int = 4096,
         ba_iterations: int = 6,
         ba_every_kf: int = 1,
+        ba_fixed: int = 4,
         loop_every_kf: int = 5,
         loop_min_gap: int = 30,
         loop_min_score: float = 0.05,
         loop_min_inliers: int = 25,
-        loop_max_rmse: float = 2.0,
+        loop_max_rmse: float = 3.0,
         loop_consistency: int = 2,
         loop_max_corr_t: float = 1.0,
         loop_max_corr_r: float = 0.6,
@@ -566,6 +589,7 @@ class SlamSystem:
         params = StepParams(
             ba_window=ba_window, ba_max_points=ba_max_points,
             ba_iterations=ba_iterations, ba_every_kf=ba_every_kf,
+            ba_fixed=ba_fixed,
             loop_every_kf=loop_every_kf, loop_min_gap=loop_min_gap,
             loop_min_score=loop_min_score,
             loop_min_inliers=loop_min_inliers,

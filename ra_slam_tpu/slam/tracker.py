@@ -108,6 +108,10 @@ class TrackResult(NamedTuple):
     need_keyframe: jax.Array
     lm_idx: jax.Array  # [F] matched landmark per feature (-1 none)
     inlier: jax.Array  # [F] bool
+    # acceptance-gate observability: the refined pose's deviation from
+    # the motion-model prediction (meters / radians)
+    jump_t: jax.Array  # float32
+    jump_r: jax.Array  # float32
 
 
 def track_frame(
@@ -185,6 +189,8 @@ def track_frame(
         need_keyframe=need_kf,
         lm_idx=lm_idx,
         inlier=inlier,
+        jump_t=jnp.linalg.norm(jump[3:]),
+        jump_r=jnp.linalg.norm(jump[:3]),
     )
 
 
@@ -195,13 +201,15 @@ def insert_keyframe_landmarks(
     lm_idx: jax.Array,  # [F] from TrackResult (-1 = unmatched)
     cam: PinholeCamera,
     tcfg: TrackingConfig,
-) -> Tuple[TrackState, jax.Array]:
+) -> Tuple[TrackState, jax.Array, jax.Array]:
     """Keyframe insertion: unmatched keypoints with valid depth become
     new landmarks (RGB-D initialization — OpenVSLAM's stereo/depth
     keyframe landmark triangulation, simplified to direct unprojection).
 
     Returns (new state, per-feature landmark index [F] for the keyframe
-    observation record: existing match or freshly inserted id or -1).
+    observation record: existing match or freshly inserted id or -1,
+    per-feature measured depth [F] in meters, 0 = none — stored with
+    the keyframe so BA gets its RGB-D depth residual).
     """
     # Edge-aware depth lookup: bilinear where the 2x2 neighborhood is
     # depth-continuous (subpixel accuracy to match the subpixel corners),
@@ -267,7 +275,8 @@ def insert_keyframe_landmarks(
         last_kf_pose=state.pose,
         initialized=jnp.array(True),
     )
-    return new_state, obs_lm
+    obs_z = jnp.where(has_depth & kp.valid, d, 0.0)
+    return new_state, obs_lm, obs_z
 
 
 def initialize_from_frame(
@@ -277,7 +286,7 @@ def initialize_from_frame(
     cam: PinholeCamera,
     pose: SE3,
     tcfg: TrackingConfig,
-) -> Tuple[TrackState, jax.Array]:
+) -> Tuple[TrackState, jax.Array, jax.Array]:
     """Bootstrap the map from the first frame at a known (or identity)
     pose: every valid-depth keypoint becomes a landmark."""
     state = state._replace(pose=pose, last_kf_pose=pose)

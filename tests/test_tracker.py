@@ -49,7 +49,7 @@ def test_track_synthetic_orbit():
     f0 = ds.frame(0)
     kp0 = detect(rgb_to_gray(jnp.asarray(f0.rgb, jnp.float32)))
     gt0 = SE3.from_matrix(jnp.asarray(f0.cam_T_world))
-    state, _ = init(state, kp0, jnp.asarray(f0.depth), pose=gt0)
+    state, _, _ = init(state, kp0, jnp.asarray(f0.depth), pose=gt0)
 
     errs = []
     for i in range(1, 8):
@@ -58,7 +58,7 @@ def test_track_synthetic_orbit():
         state, res = track(state, kp)
         assert not bool(state.lost), f"lost at frame {i} (inliers={int(res.num_inliers)})"
         if bool(res.need_keyframe):
-            state, _ = ins(state, kp, jnp.asarray(f.depth), res.lm_idx)
+            state, _, _ = ins(state, kp, jnp.asarray(f.depth), res.lm_idx)
         gt = SE3.from_matrix(jnp.asarray(f.cam_T_world))
         rot_e, tr_e = _pose_err(state.pose, gt)
         errs.append((rot_e, tr_e))
