@@ -108,19 +108,52 @@ class TrackingConfig:
     # frame keeps the predicted pose and flags `lost` (-> relocalizer)
     # instead of poisoning the map with a garbage keyframe.
     max_track_rmse: float = 3.0  # px, inlier reprojection rmse
-    max_pose_jump_t: float = 0.5  # m per frame vs prediction
-    max_pose_jump_r: float = 0.35  # rad per frame vs prediction
+    # jump gates sized ~3-4x a brisk inter-frame motion: a repeating-
+    # texture cell shift shows up as a whole extra frame of motion in
+    # one step (measured 0.41 m accepted at 0.5, instantly baked into a
+    # keyframe half a meter off); genuine corrections bigger than this
+    # arrive via reloc/loop paths that bypass these gates
+    max_pose_jump_t: float = 0.2  # m per frame vs prediction
+    max_pose_jump_r: float = 0.15  # rad per frame vs prediction
     min_inlier_ratio: float = 0.5  # inliers / matches
+    # stage-2 re-match gate (px) around the stage-1 refined pose's
+    # reprojections (OpenVSLAM's second, tight local-map search) — wide
+    # enough for measurement noise, narrower than the texture cell pitch
+    # so a one-cell population shift cannot survive re-matching
+    rematch_radius: float = 8.0
+    # consecutive soft gate failures before tracking escalates to lost
+    # (hard inlier collapse escalates immediately)
+    reloc_after: int = 2
+    # relative weight of the per-keypoint pixel-scaled depth residual in
+    # the stage-2 motion-only solve (0 disables)
+    track_depth_weight: float = 0.5
     # landmark-fusion gates (OpenVSLAM's local-mapping "fuse" step):
     # at keyframe insertion an unmatched feature re-binds to an existing
     # landmark instead of spawning a duplicate when one agrees in
-    # descriptor, image position (wide gate — drift tolerance), and depth
-    fuse_radius: float = 35.0  # px
+    # descriptor, image position, and depth. The gate dedups TRUE
+    # duplicates only — bridging drift is loop closure's job (a wide
+    # 35 px gate mis-bound repeating-texture cells; those weight-1
+    # observations crept the converged BA window rmse to ~2 px and
+    # pushed every post-keyframe pose ~0.1-0.2 m off the landmark map)
+    fuse_radius: float = 12.0  # px
     fuse_hamming_max: int = 22
     fuse_depth_ratio: float = 0.06  # |z_lm - d| <= ratio * d + 0.05 m
+    # no new landmark spawns within this pixel radius of an existing
+    # depth-consistent landmark (duplicate-sheet suppression; see
+    # tracker.insert_keyframe_landmarks)
+    spawn_suppress_radius: float = 6.0
     # landmark culling cadence (per keyframe)
     cull_min_obs: int = 2
     cull_max_age: int = 40
+    # local-map gate for frame-to-map matching: only landmarks seen
+    # within this many keyframes are match candidates (OpenVSLAM tracks
+    # the covisible LOCAL map, not the global one). Without it a drifted
+    # revisit offers two landmark sheets (old map + duplicated new map)
+    # inside the projective gate; the mixed match set splits the inlier
+    # count and tracking dies exactly when loop closure needs it alive.
+    # The old sheet rejoins through keyframe fusion once a loop
+    # correction aligns it. <= 0 disables (global matching).
+    track_max_age: int = 8
 
 
 @dataclass(frozen=True)

@@ -17,6 +17,7 @@ offline tests.
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import threading
 import time
@@ -26,12 +27,12 @@ def run(system, stereo_cam, rgbd_cam, out_dir=None, render_every_s=2.0,
         stop_after_s=None, stop_after_frames=None):
     """The reference's `run()` thread layout (`live_camera.cc:16-38`).
 
-    Camera threads are non-daemon and joined on shutdown so no thread is
-    killed mid-JAX-dispatch at interpreter exit; camera `get_*` calls
-    must return (or raise) in bounded time — real drivers have capture
-    timeouts, test fakes return immediately. A camera exception stops
-    the whole session cleanly. Returns (previews, slam_frames,
-    tsdf_frames).
+    Camera threads are daemon threads joined with a timeout on shutdown:
+    the join gives in-flight JAX dispatches time to finish cleanly, while
+    daemon status guarantees a camera driver hung inside `get_*` (no
+    capture timeout) cannot wedge interpreter exit — the stuck thread is
+    logged and abandoned instead. A camera exception stops the whole
+    session cleanly. Returns (previews, slam_frames, tsdf_frames).
     """
     stop = threading.Event()
     counts = {"slam": 0, "tsdf": 0}
@@ -75,6 +76,7 @@ def run(system, stereo_cam, rgbd_cam, out_dir=None, render_every_s=2.0,
         ),
     ]
     for t in threads:
+        t.daemon = True
         t.start()
 
     def render_preview(i):
@@ -112,6 +114,12 @@ def run(system, stereo_cam, rgbd_cam, out_dir=None, render_every_s=2.0,
         stop.set()
         for t in threads:
             t.join(timeout=30.0)
+            if t.is_alive():  # pragma: no cover - hung camera driver
+                logging.getLogger(__name__).error(
+                    "camera thread %s did not stop within 30 s "
+                    "(driver hung in capture?); abandoning it",
+                    t.name,
+                )
     if i == 0:  # session ended before the first render tick
         i += int(render_preview(0))
     if errors:

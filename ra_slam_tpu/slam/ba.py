@@ -121,8 +121,19 @@ def gather_window(
         [jnp.array([True]), sorted_gid[1:] != sorted_gid[:-1]]
     ) & (sorted_gid < _INT_MAX)
     rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # unique rank
-    points_dropped = jnp.sum((is_first & (rank >= L)).astype(jnp.int32))
-    dest = jnp.where(is_first & (rank < L), rank, L)
+    n_unique = jnp.sum(is_first.astype(jnp.int32))
+    # over capacity: keep the NEWEST L landmarks (highest ids). Landmark
+    # ids are allocation-ordered, so the newest are the ones the tracker
+    # is actively matching — dropping those (the old keep-lowest rule)
+    # left them stale while BA moved the window poses, shearing pose
+    # against the live local map: measured on the orbit bench, the frame
+    # after every keyframe spiked to 3.3-4.0 px track rmse (gate: 3.0)
+    # the moment the window's landmark union first exceeded max_points,
+    # costing a fake lost+reloc cycle every keyframe.
+    shift = jnp.maximum(n_unique - L, 0)
+    rank = rank - shift
+    points_dropped = shift
+    dest = jnp.where(is_first & (rank >= 0) & (rank < L), rank, L)
     loc2glob = jnp.full((L,), _INT_MAX, jnp.int32)
     loc2glob = loc2glob.at[dest].set(sorted_gid, mode="drop")
     point_ok = loc2glob < _INT_MAX
@@ -255,19 +266,31 @@ def solve_window(
     iterations: int = 8,
     huber_delta: float = 3.0,
     damping: float = 1e-4,
+    chi2_prune: float = 36.0,  # px^2; observations beyond are REMOVED
 ) -> Tuple[SE3, jax.Array, BAStats]:
     """Run Schur-complement GN on a gathered window.
+
+    Two-phase like OpenVSLAM's local BA (optimize → remove chi2
+    outliers → re-optimize): Huber only *down-weights* a wrong data
+    association, so a population of mis-bound observations (descriptor
+    aliasing through the fusion gate) still drags the compromise —
+    measured on the orbit bench the converged window rmse crept from
+    0.5 px to 1.8-2.1 px and every post-keyframe frame tracked 0.1-0.2 m
+    off the landmark map. After the first half of the iterations, any
+    observation with squared residual above `chi2_prune` is zeroed out
+    of the problem for the second half.
 
     Returns (optimized poses [W], optimized points [L, 3], stats).
     """
     W = win.kf_free.shape[0]
     L = win.points.shape[0]
 
-    def iteration(_, carry):
+    def make_iteration(obs_w):
+      def iteration(_, carry):
         poses, points = carry
         r, J_p, J_x, ok = _residuals(poses, points, win, cam)
         r2 = jnp.sum(r * r, -1)
-        w = win.obs_w * ok * _robust_weight(r2, huber_delta)  # [N]
+        w = obs_w * ok * _robust_weight(r2, huber_delta)  # [N]
 
         # zero the pose Jacobian of fixed rows so their update is exactly 0
         free_n = win.kf_free[win.obs_k]
@@ -299,7 +322,12 @@ def solve_window(
         Hll_d = Hll + (damping + 1e-8) * eye3 + damping * Hll * eye3
         # guard empty landmark slots (singular blocks)
         occupied = win.point_ok & (jnp.einsum("lii->l", Hll) > 1e-12)
-        Hinv = jnp.linalg.inv(jnp.where(occupied[:, None, None], Hll_d, eye3))
+        with jax.default_matmul_precision("highest"):
+            # TPU f32 linalg defaults to bf16 matmul passes (see
+            # pose_graph.solve_once) — keep the factorizations exact
+            Hinv = jnp.linalg.inv(
+                jnp.where(occupied[:, None, None], Hll_d, eye3)
+            )
         Hinv = jnp.where(occupied[:, None, None], Hinv, 0.0)
 
         # reduced camera system S = Hpp - U^T Hinv U  (one einsum, MXU)
@@ -318,9 +346,10 @@ def solve_window(
             "lkab,lbc,lc->ka", U, Hinv, gl, precision=_HIGH
         )  # [W, 6]
 
-        dxi = -jnp.linalg.solve(
-            S.reshape(W * 6, W * 6), rhs.reshape(W * 6)
-        ).reshape(W, 6)
+        with jax.default_matmul_precision("highest"):
+            dxi = -jnp.linalg.solve(
+                S.reshape(W * 6, W * 6), rhs.reshape(W * 6)
+            ).reshape(W, 6)
         dxi = jnp.where(jnp.all(jnp.isfinite(dxi)), dxi, jnp.zeros_like(dxi))
         dxi = clamp_twist(dxi) * win.kf_free[:, None]
 
@@ -334,15 +363,28 @@ def solve_window(
 
         return exp_se3(dxi) @ poses, points + dx
 
+      return iteration
+
     r0, _, _, ok0 = _residuals(win.poses, win.points, win, cam)
     rmse0 = _weighted_rmse(r0, win.obs_w * ok0)
 
+    n1 = max(iterations // 2, 1)
     poses, points = jax.lax.fori_loop(
-        0, iterations, iteration, (win.poses, win.points), unroll=True
+        0, n1, make_iteration(win.obs_w), (win.poses, win.points),
+        unroll=True,
+    )
+    # chi2 outlier removal between phases (g2o two-stage optimize)
+    rp, _, _, okp = _residuals(poses, points, win, cam)
+    obs_w2 = jnp.where(
+        okp & (jnp.sum(rp * rp, -1) <= chi2_prune), win.obs_w, 0.0
+    )
+    poses, points = jax.lax.fori_loop(
+        0, max(iterations - n1, 0), make_iteration(obs_w2),
+        (poses, points), unroll=True,
     )
 
     r1, _, _, ok1 = _residuals(poses, points, win, cam)
-    rmse1 = _weighted_rmse(r1, win.obs_w * ok1)
+    rmse1 = _weighted_rmse(r1, obs_w2 * ok1)
 
     stats = BAStats(
         num_poses=jnp.sum(win.kf_free.astype(jnp.int32)),

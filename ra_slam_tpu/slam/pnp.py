@@ -82,6 +82,35 @@ def _huber_weight(r2: jax.Array, delta: float) -> jax.Array:
     return jnp.where(r <= delta, 1.0, delta / r)
 
 
+def _depth_residuals(
+    pose: SE3,
+    pts_world: jax.Array,  # [N, 3]
+    d_obs: jax.Array,  # [N] measured depth (m), <=0 = none
+    cam: PinholeCamera,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pixel-scaled depth residual r_z = fx·(z - d)/z and its [N, 6]
+    twist Jacobian.
+
+    The RGB-D analog of ORB-SLAM2's virtual right-camera coordinate:
+    expressing the metric depth error in pixel units (÷z·fx) lets one
+    Huber/chi2 scale govern both residual types. The reference feeds
+    depth to OpenVSLAM's `track_RGBD_image`
+    (`/root/reference/modules/slam_module.cc:133`), whose g2o edges do
+    the same via the stereo u_r formulation.
+    """
+    p = pose.apply(pts_world)
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    ok = (z > 1e-6) & (d_obs > 0)
+    zs = jnp.where(z > 1e-6, z, 1.0)
+    r = cam.fx * (zs - d_obs) / zs  # fx·(1 - d/z)
+    # dz/dxi for left-multiplied exp(xi) T: row z of [-[p]x | I]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    dz = jnp.stack([y, -x, zero, zero, zero, one], -1)  # [N, 6]
+    J = (cam.fx * d_obs / (zs * zs))[:, None] * dz
+    return r, J, ok
+
+
 def motion_only_gn(
     pose0: SE3,
     pts_world: jax.Array,  # [N, 3]
@@ -92,11 +121,17 @@ def motion_only_gn(
     huber_delta: float = 5.0,
     chi2_inlier: float = 5.991,  # 95% chi2(2) in pixels^2 (per unit sigma)
     damping: float = 1e-6,
+    depth_obs: jax.Array | None = None,  # [N] measured depth (m), <=0 none
+    depth_weight: float = 0.5,  # relative weight of the depth residual
 ) -> PnPResult:
     """Gauss-Newton pose refinement over fixed iterations.
 
     `weights` masks invalid correspondences and can encode per-level
-    measurement sigmas (OpenVSLAM weighs by pyramid level).
+    measurement sigmas (OpenVSLAM weighs by pyramid level). With
+    `depth_obs`, each point with measured depth also contributes a
+    pixel-scaled depth residual — absolute scale observability every
+    frame, which breaks the tangential pose/landmark aliasing a pure
+    reprojection solve tolerates on self-similar texture.
     """
 
     def body(_, pose: SE3) -> SE3:
@@ -106,8 +141,19 @@ def motion_only_gn(
         Jw = J * w[:, None, None]
         H = jnp.einsum("nri,nrj->ij", Jw, J, precision=_HIGH)
         g = jnp.einsum("nri,nr->i", Jw, r, precision=_HIGH)
+        if depth_obs is not None:
+            rz, Jz, okz = _depth_residuals(pose, pts_world, depth_obs, cam)
+            wz = (
+                depth_weight * weights * okz
+                * _huber_weight(rz * rz, huber_delta)
+            )
+            Jzw = Jz * wz[:, None]
+            H = H + jnp.einsum("ni,nj->ij", Jzw, Jz, precision=_HIGH)
+            g = g + jnp.einsum("ni,n->i", Jzw, rz, precision=_HIGH)
         H = H + damping * jnp.eye(6, dtype=H.dtype)
-        dxi = -jnp.linalg.solve(H, g)
+        with jax.default_matmul_precision("highest"):
+            # TPU f32 linalg defaults to bf16 passes; keep the 6x6 exact
+            dxi = -jnp.linalg.solve(H, g)
         # guard: bad conditioning -> no update
         dxi = jnp.where(jnp.all(jnp.isfinite(dxi)), dxi, jnp.zeros_like(dxi))
         return exp_se3(dxi) @ pose

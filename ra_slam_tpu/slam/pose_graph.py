@@ -122,51 +122,57 @@ def optimize_pose_graph(
     node_active = (jnp.arange(K) < kf_counter) & kfs.valid[:K]
 
     def solve_once(R, t):
-        Ti = SE3(R[edges.i], t[edges.i])
-        Tj = SE3(R[edges.j], t[edges.j])
-        Z = SE3(edges.R, edges.t)
-        r, Ji, Jj = jax.vmap(_edge_lin)(Ti, Tj, Z)  # [E,6],[E,6,6],[E,6,6]
+      # TPU: f32 linalg (Cholesky / triangular solve) lowers to blocked
+      # matmuls that default to ONE bf16 pass — with the 1e6 gauge prior
+      # the [6K, 6K] solve loses the entire correction signal (measured:
+      # loop closures applied ~zero shift on chip while converging to
+      # machine precision on CPU). Force true f32 accumulation.
+      with jax.default_matmul_precision("highest"):
+          Ti = SE3(R[edges.i], t[edges.i])
+          Tj = SE3(R[edges.j], t[edges.j])
+          Z = SE3(edges.R, edges.t)
+          r, Ji, Jj = jax.vmap(_edge_lin)(Ti, Tj, Z)  # [E,6],[E,6,6],[E,6,6]
 
-        # edge validity: weight > 0, both endpoints active
-        w = edges.weight * node_active[edges.i] * node_active[edges.j]
-        rw = r * w[:, None]
+          # edge validity: weight > 0, both endpoints active
+          w = edges.weight * node_active[edges.i] * node_active[edges.j]
+          rw = r * w[:, None]
 
-        # assemble dense H [6K, 6K], g [6K] with scatter-adds
-        Hii = jnp.einsum("eri,erj->eij", Ji * w[:, None, None], Ji, precision=_HIGH)
-        Hjj = jnp.einsum("eri,erj->eij", Jj * w[:, None, None], Jj, precision=_HIGH)
-        Hij = jnp.einsum("eri,erj->eij", Ji * w[:, None, None], Jj, precision=_HIGH)
-        gi = jnp.einsum("eri,er->ei", Ji, rw, precision=_HIGH)
-        gj = jnp.einsum("eri,er->ei", Jj, rw, precision=_HIGH)
+          # assemble dense H [6K, 6K], g [6K] with scatter-adds
+          Hii = jnp.einsum("eri,erj->eij", Ji * w[:, None, None], Ji, precision=_HIGH)
+          Hjj = jnp.einsum("eri,erj->eij", Jj * w[:, None, None], Jj, precision=_HIGH)
+          Hij = jnp.einsum("eri,erj->eij", Ji * w[:, None, None], Jj, precision=_HIGH)
+          gi = jnp.einsum("eri,er->ei", Ji, rw, precision=_HIGH)
+          gj = jnp.einsum("eri,er->ei", Jj, rw, precision=_HIGH)
 
-        Hb = jnp.zeros((K, K, 6, 6), jnp.float32)
-        Hb = Hb.at[edges.i, edges.i].add(Hii)
-        Hb = Hb.at[edges.j, edges.j].add(Hjj)
-        Hb = Hb.at[edges.i, edges.j].add(Hij)
-        Hb = Hb.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
-        g = jnp.zeros((K, 6), jnp.float32)
-        g = g.at[edges.i].add(gi)
-        g = g.at[edges.j].add(gj)
+          Hb = jnp.zeros((K, K, 6, 6), jnp.float32)
+          Hb = Hb.at[edges.i, edges.i].add(Hii)
+          Hb = Hb.at[edges.j, edges.j].add(Hjj)
+          Hb = Hb.at[edges.i, edges.j].add(Hij)
+          Hb = Hb.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
+          g = jnp.zeros((K, 6), jnp.float32)
+          g = g.at[edges.i].add(gi)
+          g = g.at[edges.j].add(gj)
 
-        # gauge prior on node 0; freeze inactive nodes
-        prior = jnp.where(
-            jnp.arange(K) == 0, gauge_weight, jnp.where(node_active, 0.0, 1.0)
-        )
-        eye6 = jnp.eye(6, dtype=jnp.float32)
-        Hb = Hb + (prior[:, None, None, None] + damping) * eye6[None, None] * (
-            jnp.eye(K, dtype=jnp.float32)[:, :, None, None]
-        )
+          # gauge prior on node 0; freeze inactive nodes
+          prior = jnp.where(
+              jnp.arange(K) == 0, gauge_weight, jnp.where(node_active, 0.0, 1.0)
+          )
+          eye6 = jnp.eye(6, dtype=jnp.float32)
+          Hb = Hb + (prior[:, None, None, None] + damping) * eye6[None, None] * (
+              jnp.eye(K, dtype=jnp.float32)[:, :, None, None]
+          )
 
-        H = jnp.transpose(Hb, (0, 2, 1, 3)).reshape(6 * K, 6 * K)
-        gflat = g.reshape(6 * K)
-        dxi = -jax.scipy.linalg.solve(H, gflat, assume_a="pos").reshape(K, 6)
-        dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
-        dxi = jnp.where(node_active[:, None], dxi, 0.0)
+          H = jnp.transpose(Hb, (0, 2, 1, 3)).reshape(6 * K, 6 * K)
+          gflat = g.reshape(6 * K)
+          dxi = -jax.scipy.linalg.solve(H, gflat, assume_a="pos").reshape(K, 6)
+          dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
+          dxi = jnp.where(node_active[:, None], dxi, 0.0)
 
-        upd = jax.vmap(exp_se3)(dxi)
-        new = jax.vmap(lambda u, Rk, tk: u @ SE3(Rk, tk))(upd, R, t)
-        chi2 = jnp.sum(rw * r)
-        nact = jnp.maximum(jnp.sum(w > 0), 1)
-        return new.R, new.t, jnp.sqrt(chi2 / nact.astype(jnp.float32))
+          upd = jax.vmap(exp_se3)(dxi)
+          new = jax.vmap(lambda u, Rk, tk: u @ SE3(Rk, tk))(upd, R, t)
+          chi2 = jnp.sum(rw * r)
+          nact = jnp.maximum(jnp.sum(w > 0), 1)
+          return new.R, new.t, jnp.sqrt(chi2 / nact.astype(jnp.float32))
 
     R0, t0 = kfs.R[:K], kfs.t[:K]
     _, _, rmse_before = solve_once(R0, t0)

@@ -140,6 +140,12 @@ class _InfoDev(NamedTuple):
     track_rmse: jax.Array  # float32 inlier reprojection rmse (px)
     jump_t: jax.Array  # float32 pose jump vs motion model (m)
     jump_r: jax.Array  # float32 (rad)
+    # BA window landmark overflow (count, never silent truncation)
+    ba_dropped: jax.Array  # int32
+    # translation BA applied to the freshly-inserted keyframe (m)
+    ba_shift: jax.Array  # float32 (nan = BA not run)
+    # translation PGO applied to the query keyframe at a loop closure
+    pgo_shift: jax.Array  # float32 (nan = no closure this frame)
 
 
 class FrameInfo:
@@ -210,6 +216,14 @@ class FrameInfo:
         h = self._pull()
         return (float(h.loop_delta_t), float(h.loop_delta_r))
 
+    @property
+    def ba_dropped(self) -> int:
+        return int(self._pull().ba_dropped)
+
+    @property
+    def ba_shift(self) -> float:
+        return float(self._pull().ba_shift)
+
     def block(self) -> "FrameInfo":
         jax.block_until_ready(self._dev.t)
         return self
@@ -260,7 +274,12 @@ def _ba_step(state: SlamState, cam, p: StepParams):
         cam=cam, window=p.ba_window, max_points=p.ba_max_points,
         iterations=p.ba_iterations, n_fixed=p.ba_fixed,
     )
-    return _propagate_kf_correction(state, old_kf, kfs, lms), stats.rmse_after
+    state = _propagate_kf_correction(state, old_kf, kfs, lms)
+    # how far BA moved the freshly-inserted keyframe (observability:
+    # this shift re-bases the tracker, so a systematic bias here shows
+    # up as a pose jump on the NEXT frame)
+    shift = jnp.linalg.norm(_newest_kf(state).t - old_kf.t)
+    return state, stats.rmse_after, stats.points_dropped, shift
 
 
 def _gba_step(state: SlamState, cam, p: StepParams):
@@ -294,6 +313,7 @@ def _reloc_step(state: SlamState, kp: Keypoints, cam, tcfg, p: StepParams):
         ),
         velocity=jnp.where(acc, 0.0, state.track.velocity),
         lost=jnp.where(acc, False, state.track.lost),
+        bad_streak=jnp.where(acc, 0, state.track.bad_streak),
     )
     return (
         state._replace(
@@ -312,13 +332,17 @@ def _loop_close_step(state: SlamState, loop, query_slot, p: StepParams):
     )
     old_R, old_t = state.kfs.R, state.kfs.t
     old_kf = _newest_kf(state)
-    kfs, _stats = optimize_pose_graph(
+    kfs, pgo_stats = optimize_pose_graph(
         state.kfs, state.edges, state.track.kf_counter,
         max_nodes=state.kfs.capacity, iterations=p.pgo_iterations,
     )
+    # how far the optimizer actually moved the query keyframe — zero
+    # here with a nonzero implied loop delta means the correction is
+    # being lost, not applied
+    pgo_shift = jnp.linalg.norm(kfs.t[query_slot] - old_t[query_slot])
     lms = correct_landmarks(state.track.lms, old_R, old_t, kfs)
     state = _propagate_kf_correction(state, old_kf, kfs, lms)
-    return state._replace(n_loops=state.n_loops + 1)
+    return state._replace(n_loops=state.n_loops + 1), pgo_shift, pgo_stats
 
 
 def _record_stats(state: SlamState) -> SlamState:
@@ -375,12 +399,13 @@ def slam_frame_step(
             ba_rmse=nan, loop_closed=f, relocalized=f,
             loop_cand=jnp.int32(-1), loop_inliers=i0,
             loop_rmse=nan, loop_delta_t=nan, loop_delta_r=nan,
-            track_rmse=nan, jump_t=nan, jump_r=nan,
+            track_rmse=nan, jump_t=nan, jump_r=nan, ba_dropped=i0,
+            ba_shift=nan, pgo_shift=nan,
         )
         return st, info
 
     def track_branch(st: SlamState):
-        track, res = track_frame(st.track, kp, cam=cam, tcfg=tcfg)
+        track, res = track_frame(st.track, kp, depth, cam=cam, tcfg=tcfg)
         st = st._replace(track=track)
 
         st, relocalized = jax.lax.cond(
@@ -422,14 +447,14 @@ def slam_frame_step(
             s = _maybe_add_edge(s, kfc >= 2, prev, new_slot, z, 1.0)
 
             if p.ba_every_kf == 1:
-                s, ba_rmse = _ba_step(s, cam, p)
+                s, ba_rmse, ba_dropped, ba_shift = _ba_step(s, cam, p)
             elif p.ba_every_kf <= 0:  # statically disabled (ablations)
-                ba_rmse = nan
+                ba_rmse, ba_dropped, ba_shift = nan, i0, nan
             else:
-                s, ba_rmse = jax.lax.cond(
+                s, ba_rmse, ba_dropped, ba_shift = jax.lax.cond(
                     kfc % p.ba_every_kf == 0,
                     lambda x: _ba_step(x, cam, p),
-                    lambda x: (x, nan),
+                    lambda x: (x, nan, i0, nan),
                     s,
                 )
 
@@ -475,25 +500,27 @@ def slam_frame_step(
                     loop_prev_cand=jnp.where(acc, loop.cand, -(10**6)),
                     loop_streak=jnp.where(close_now, 0, streak),
                 )
-                diag = (
-                    loop.cand, loop.num_inliers, loop.rmse,
-                    jnp.linalg.norm(delta[3:]), jnp.linalg.norm(delta[:3]),
-                )
-
                 def close(s3: SlamState):
-                    s4 = _loop_close_step(s3, loop, new_slot, p)
+                    s4, pgo_shift, _pst = _loop_close_step(
+                        s3, loop, new_slot, p
+                    )
                     if p.gba_after_loop:
                         s4, gr = _gba_step(s4, cam, p)
                     else:
                         gr = nan
-                    return s4, t_, gr
+                    return s4, t_, gr, pgo_shift
 
-                s2, closed, gr = jax.lax.cond(
-                    close_now, close, lambda s3: (s3, f, nan), s2
+                s2, closed, gr, pgo_shift = jax.lax.cond(
+                    close_now, close, lambda s3: (s3, f, nan, nan), s2
+                )
+                diag = (
+                    loop.cand, loop.num_inliers, loop.rmse,
+                    jnp.linalg.norm(delta[3:]), jnp.linalg.norm(delta[:3]),
+                    pgo_shift,
                 )
                 return s2, closed, gr, diag
 
-            no_diag = (jnp.int32(-1), jnp.int32(0), nan, nan, nan)
+            no_diag = (jnp.int32(-1), jnp.int32(0), nan, nan, nan, nan)
             s, loop_closed, gba_rmse, ldiag = jax.lax.cond(
                 (kfc % p.loop_every_kf == 0) & (kfc >= 2),
                 do_loop,
@@ -501,11 +528,16 @@ def slam_frame_step(
                 s,
             )
             ba_rmse = jnp.where(jnp.isnan(gba_rmse), ba_rmse, gba_rmse)
-            return s, (t_, ba_rmse, loop_closed, ldiag)
+            return s, (t_, ba_rmse, ba_dropped, ba_shift, loop_closed, ldiag)
 
-        no_diag = (jnp.int32(-1), jnp.int32(0), nan, nan, nan)
-        st, (inserted, ba_rmse, loop_closed, ldiag) = jax.lax.cond(
-            res.need_keyframe, do_kf, lambda s: (s, (f, nan, f, no_diag)), st
+        no_diag = (jnp.int32(-1), jnp.int32(0), nan, nan, nan, nan)
+        st, (inserted, ba_rmse, ba_dropped, ba_shift, loop_closed, ldiag) = (
+            jax.lax.cond(
+                res.need_keyframe,
+                do_kf,
+                lambda s: (s, (f, nan, i0, nan, f, no_diag)),
+                st,
+            )
         )
 
         st = _record_stats(st)
@@ -519,6 +551,7 @@ def slam_frame_step(
             loop_rmse=ldiag[2], loop_delta_t=ldiag[3],
             loop_delta_r=ldiag[4],
             track_rmse=res.rmse, jump_t=res.jump_t, jump_r=res.jump_r,
+            ba_dropped=ba_dropped, ba_shift=ba_shift, pgo_shift=ldiag[5],
         )
         return st, info
 

@@ -45,6 +45,9 @@ class TrackState(NamedTuple):
     last_kf_pose: SE3
     initialized: jax.Array  # bool
     lost: jax.Array  # bool
+    # consecutive soft acceptance-gate failures; a single over-threshold
+    # frame keeps the motion-model pose and does NOT trigger reloc
+    bad_streak: jax.Array  # int32
 
 
 def create_track_state(max_landmarks: int) -> TrackState:
@@ -59,34 +62,53 @@ def create_track_state(max_landmarks: int) -> TrackState:
         last_kf_pose=SE3.identity(),
         initialized=jnp.array(False),
         lost=jnp.array(False),
+        bad_streak=jnp.int32(0),
     )
 
 
-def match_frame_to_map(
+def keypoint_depth(
+    depth: jax.Array,  # [H, W] float32 meters (0 = invalid)
     kp: Keypoints,
-    lms: Landmarks,
-    pose_pred: SE3,
-    cam: PinholeCamera,
     tcfg: TrackingConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Projective-gated dense matching: feature i -> landmark idx (or -1).
+    """Edge-aware per-keypoint depth: bilinear where the 2x2 neighborhood
+    is depth-continuous (subpixel accuracy to match the subpixel
+    corners), nearest at discontinuities (bilinear would smear foreground
+    and background into a phantom point). Returns (d [F], valid [F])."""
+    d_near, dvalid = nearest_sample(depth, kp.uv)
+    d_bil, bvalid = bilinear_sample(depth, kp.uv)
+    smooth = bvalid & (jnp.abs(d_bil - d_near) < 0.05 * jnp.maximum(d_near, 0.1))
+    d = jnp.where(smooth, d_bil, d_near)
+    return d, dvalid & (d > tcfg.min_depth) & (d < tcfg.max_depth)
 
-    Returns (lm_idx [F] int32, valid [F] bool).
-    """
-    p_cam = pose_pred.apply(lms.pos)  # [M, 3]
+
+def _gated_match(
+    dist: jax.Array,  # [F, M] precomputed Hamming distances
+    kp: Keypoints,
+    lms: Landmarks,
+    pose: SE3,
+    cam: PinholeCamera,
+    tcfg: TrackingConfig,
+    radius: float,
+    kf_counter: jax.Array | None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply a projective gate at `pose`/`radius` to a precomputed
+    Hamming matrix and pick best matches with a ratio test."""
+    p_cam = pose.apply(lms.pos)  # [M, 3]
     uv_lm, z = cam.project(p_cam)
     proj_ok = lms.valid & (z > 0.05) & cam.in_bounds(uv_lm)
-
-    # packed XOR+popcount Hamming matrix — on TPU this is the Pallas
-    # kernel (`ops/hamming.py`), avoiding the 32x unpack traffic of the
-    # ±1-matmul formulation
-    dist = hamming_matrix(kp.desc, lms.desc)  # [F, M] float32
+    if tcfg.track_max_age > 0 and kf_counter is not None:
+        # local-map gate (OpenVSLAM covisibility semantics): only
+        # recently-seen landmarks are candidates, so a drifted revisit
+        # tracks one consistent sheet instead of a mix of old and new
+        proj_ok = proj_ok & (
+            kf_counter - lms.last_seen <= tcfg.track_max_age
+        )
 
     d2 = jnp.sum(
         (kp.uv[:, None, :] - uv_lm[None, :, :]) ** 2, axis=-1
     )  # [F, M] pixel distance^2
-    r2 = float(tcfg.match_radius) ** 2
-    gate = proj_ok[None, :] & (d2 <= r2)
+    gate = proj_ok[None, :] & (d2 <= float(radius) ** 2)
     dist = jnp.where(gate, dist, jnp.inf)
 
     neg = -dist
@@ -99,6 +121,27 @@ def match_frame_to_map(
         & (best < tcfg.match_ratio * jnp.minimum(second, float(NUM_PAIRS)))
     )
     return jnp.where(ok, idx2[:, 0], -1).astype(jnp.int32), ok
+
+
+def match_frame_to_map(
+    kp: Keypoints,
+    lms: Landmarks,
+    pose_pred: SE3,
+    cam: PinholeCamera,
+    tcfg: TrackingConfig,
+    kf_counter: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Projective-gated dense matching: feature i -> landmark idx (or -1).
+
+    Returns (lm_idx [F] int32, valid [F] bool).
+    """
+    # packed XOR+popcount Hamming matrix — on TPU this is the Pallas
+    # kernel (`ops/hamming.py`), avoiding the 32x unpack traffic of the
+    # ±1-matmul formulation
+    dist = hamming_matrix(kp.desc, lms.desc)  # [F, M] float32
+    return _gated_match(
+        dist, kp, lms, pose_pred, cam, tcfg, tcfg.match_radius, kf_counter
+    )
 
 
 class TrackResult(NamedTuple):
@@ -117,47 +160,97 @@ class TrackResult(NamedTuple):
 def track_frame(
     state: TrackState,
     kp: Keypoints,
+    depth: jax.Array,  # [H, W] float32 meters (0 = invalid)
     cam: PinholeCamera,
     tcfg: TrackingConfig,
 ) -> Tuple[TrackState, TrackResult]:
-    """Track one frame against the landmark map (pure, jit-able)."""
+    """Track one frame against the landmark map (pure, jit-able).
+
+    Two-stage like OpenVSLAM's tracking module: (1) match inside a wide
+    gate at the motion-model pose and optimize, then (2) re-match inside
+    a TIGHT gate around the refined pose's reprojections and re-optimize.
+    On repeating texture, stage 1 alone can converge to a whole-population
+    one-cell shift (every match moved to the neighboring texture cell —
+    measured 0.2 m accepted jumps on the orbit bench); the tight re-match
+    keeps only the landmark sheet consistent with the stage-1 majority.
+    Both stages reuse ONE Hamming matrix — only the projective gate moves.
+    The per-keypoint measured depth adds a pixel-scaled depth residual
+    to the stage-2 solve (see `pnp._depth_residuals`).
+    """
     pose_pred = exp_se3(state.velocity) @ state.pose
+    d_kp, has_depth = keypoint_depth(depth, kp, tcfg)
+    d_obs = jnp.where(has_depth, d_kp, 0.0)
 
-    lm_idx, mvalid = match_frame_to_map(kp, state.lms, pose_pred, cam, tcfg)
-    pts = state.lms.pos[jnp.maximum(lm_idx, 0)]
-    w = mvalid.astype(jnp.float32)
-    n_match = jnp.sum(mvalid.astype(jnp.int32))
-
-    res = motion_only_gn(
+    dist = hamming_matrix(kp.desc, state.lms.desc)  # [F, M]
+    lm_idx1, mvalid1 = _gated_match(
+        dist, kp, state.lms, pose_pred, cam, tcfg,
+        tcfg.match_radius, state.kf_counter,
+    )
+    res1 = motion_only_gn(
         pose_pred,
-        pts,
+        state.lms.pos[jnp.maximum(lm_idx1, 0)],
         kp.uv,
-        w,
+        mvalid1.astype(jnp.float32),
         cam,
         iterations=tcfg.gn_iterations,
         huber_delta=tcfg.huber_delta,
     )
 
-    # acceptance gates (see TrackingConfig): inlier count, residual,
-    # single-frame jump vs the motion model, inlier/match ratio
-    jump = log_se3(res.pose @ pose_pred.inverse())
-    ok = (
-        (res.num_inliers >= tcfg.min_inliers)
-        & (res.rmse <= tcfg.max_track_rmse)
-        & (jnp.linalg.norm(jump[3:]) <= tcfg.max_pose_jump_t)
-        & (jnp.linalg.norm(jump[:3]) <= tcfg.max_pose_jump_r)
-        & (
-            res.num_inliers.astype(jnp.float32)
-            >= tcfg.min_inlier_ratio * jnp.maximum(n_match, 1).astype(jnp.float32)
-        )
+    lm_idx, mvalid = _gated_match(
+        dist, kp, state.lms, res1.pose, cam, tcfg,
+        tcfg.rematch_radius, state.kf_counter,
     )
+    pts = state.lms.pos[jnp.maximum(lm_idx, 0)]
+    n_match = jnp.sum(mvalid.astype(jnp.int32))
+    res = motion_only_gn(
+        res1.pose,
+        pts,
+        kp.uv,
+        mvalid.astype(jnp.float32),
+        cam,
+        iterations=tcfg.gn_iterations,
+        huber_delta=tcfg.huber_delta,
+        depth_obs=d_obs,
+        depth_weight=tcfg.track_depth_weight,
+    )
+
+    # acceptance gates (see TrackingConfig): hard failure = inlier
+    # collapse; soft failure = residual size / implausible single-frame
+    # jump / outlier-dominated match set
+    jump = log_se3(res.pose @ pose_pred.inverse())
+    collapsed = (res.num_inliers < tcfg.min_inliers) | (
+        res.num_inliers.astype(jnp.float32)
+        < tcfg.min_inlier_ratio * jnp.maximum(n_match, 1).astype(jnp.float32)
+    )
+    soft_bad = (
+        (res.rmse > tcfg.max_track_rmse)
+        | (jnp.linalg.norm(jump[3:]) > tcfg.max_pose_jump_t)
+        | (jnp.linalg.norm(jump[:3]) > tcfg.max_pose_jump_r)
+    )
+    ok = ~collapsed & ~soft_bad
+    # a single soft failure keeps the motion-model pose (the map is
+    # usually fine and the next frame recovers); only a persistent
+    # streak or a hard collapse escalates to lost -> relocalization
+    streak = jnp.where(ok, 0, state.bad_streak + 1)
+    lost = state.initialized & (
+        collapsed | (streak >= tcfg.reloc_after)
+    )
+
     pose_new = jax.tree.map(
         lambda a, b: jnp.where(ok, a, b), res.pose, pose_pred
     )
-    vel_new = jnp.where(ok, log_se3(pose_new @ state.pose.inverse()), state.velocity * 0.0)
+    # soft-bad keeps the velocity (prediction continues along the motion
+    # model); hard loss zeroes it
+    vel_new = jnp.where(
+        ok,
+        log_se3(pose_new @ state.pose.inverse()),
+        jnp.where(lost, jnp.zeros_like(state.velocity), state.velocity),
+    )
 
     inlier = res.inliers & mvalid
-    lms = record_observations(state.lms, lm_idx, inlier, state.kf_counter)
+    lms = record_observations(
+        state.lms, lm_idx, inlier & ok, state.kf_counter
+    )
 
     # keyframe policy (reference config semantics: min interval + motion
     # or weak tracking)
@@ -180,7 +273,8 @@ def track_frame(
         frames_since_kf=state.frames_since_kf + 1,
         last_kf_pose=state.last_kf_pose,
         initialized=state.initialized,
-        lost=state.initialized & ~ok,
+        lost=lost,
+        bad_streak=streak,
     )
     return new_state, TrackResult(
         num_matches=n_match,
@@ -211,15 +305,7 @@ def insert_keyframe_landmarks(
     per-feature measured depth [F] in meters, 0 = none — stored with
     the keyframe so BA gets its RGB-D depth residual).
     """
-    # Edge-aware depth lookup: bilinear where the 2x2 neighborhood is
-    # depth-continuous (subpixel accuracy to match the subpixel corners),
-    # nearest at discontinuities (bilinear would smear foreground and
-    # background into a phantom point).
-    d_near, dvalid = nearest_sample(depth, kp.uv)
-    d_bil, bvalid = bilinear_sample(depth, kp.uv)
-    smooth = bvalid & (jnp.abs(d_bil - d_near) < 0.05 * jnp.maximum(d_near, 0.1))
-    d = jnp.where(smooth, d_bil, d_near)
-    has_depth = dvalid & (d > tcfg.min_depth) & (d < tcfg.max_depth)
+    d, has_depth = keypoint_depth(depth, kp, tcfg)
 
     # Landmark fusion (OpenVSLAM local-mapping "fuse"): before spawning a
     # landmark for an unmatched feature, re-search the whole map with a
@@ -251,7 +337,17 @@ def insert_keyframe_landmarks(
         lm_idx >= 0, lm_idx, jnp.where(fuse_ok, fuse_best, -1)
     )
 
-    new_mask = kp.valid & (eff_idx < 0) & has_depth
+    # spawn suppression: an unmatched feature whose pixel/depth
+    # neighborhood already holds ANY valid landmark spawns nothing —
+    # even when the descriptor diverged past the fuse gate. Without it,
+    # every keyframe re-spawns a drift-displaced duplicate of each
+    # landmark whose ORB descriptor decorrelated with viewpoint, and
+    # the next frame tracks a two-sheet mix (measured: post-keyframe
+    # rmse spikes to 3.5-4 px the moment drift exceeds the match gate).
+    occupied = jnp.any(
+        gate & (d2 <= float(tcfg.spawn_suppress_radius) ** 2), axis=1
+    )
+    new_mask = kp.valid & (eff_idx < 0) & has_depth & ~occupied
     p_cam = cam.unproject(kp.uv, d)
     p_world = state.pose.inverse().apply(p_cam)
 
@@ -261,6 +357,16 @@ def insert_keyframe_landmarks(
     # fused re-observations count as sightings (keeps them from culling)
     lms = record_observations(
         lms, eff_idx, (eff_idx >= 0) & kp.valid, state.kf_counter
+    )
+    # representative-descriptor refresh (OpenVSLAM's
+    # compute_descriptor on new observations): a landmark's spawn-time
+    # ORB descriptor decorrelates after ~20-30 deg of viewpoint change;
+    # re-observed landmarks adopt this keyframe's descriptor so the
+    # whole map stays matchable across the trajectory instead of only
+    # its newest sheet.
+    upd = jnp.where((eff_idx >= 0) & kp.valid, eff_idx, lms.capacity)
+    lms = lms._replace(
+        desc=lms.desc.at[upd].set(kp.desc, mode="drop")
     )
     lms = cull_landmarks(
         lms, state.kf_counter,

@@ -19,28 +19,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _named_leaves(tree: Any):
+    """(name, leaf) pairs where the name is the pytree key path — stable
+    across reorderings/insertions of sibling fields, unlike a positional
+    index. NOTE: capacities (array shapes) are part of the checkpoint
+    contract: a checkpoint only loads into a system constructed with the
+    same config (max_frames, max_keyframes, pool sizes, ...)."""
+    paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [(jax.tree_util.keystr(kp), leaf) for kp, leaf in paths]
+
+
 def save_pytree(path: str, tree: Any) -> None:
-    """Save any pytree of arrays/scalars as an npz (keys = leaf order)."""
-    leaves = jax.tree_util.tree_leaves(tree)
+    """Save any pytree of arrays/scalars as an npz keyed by key path."""
     np.savez_compressed(
-        path, **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        path, **{name: np.asarray(v) for name, v in _named_leaves(tree)}
     )
 
 
 def load_pytree(path: str, template: Any) -> Any:
     """Load an npz produced by `save_pytree` into `template`'s structure.
 
-    Shapes/dtypes must match the template (same configs on both sides).
+    Leaves are matched by key-path name (legacy positional `leaf_{i}`
+    checkpoints still load); shapes/dtypes must match the template
+    (same configs on both sides).
     """
     data = np.load(path)
-    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    named = _named_leaves(template)
+    treedef = jax.tree_util.tree_structure(template)
     leaves = []
-    for i, t in enumerate(t_leaves):
-        arr = data[f"leaf_{i}"]
+    for i, (name, t) in enumerate(named):
+        key = name if name in data else f"leaf_{i}"
+        if key not in data:
+            raise KeyError(
+                f"checkpoint {path} has no entry for leaf {name!r} "
+                f"(saved by an incompatible version?)"
+            )
+        arr = data[key]
         t_arr = np.asarray(t)
         if arr.shape != t_arr.shape:
             raise ValueError(
-                f"leaf {i}: checkpoint shape {arr.shape} != template "
+                f"leaf {name}: checkpoint shape {arr.shape} != template "
                 f"{t_arr.shape} (different config?)"
             )
         leaves.append(jnp.asarray(arr.astype(t_arr.dtype)))

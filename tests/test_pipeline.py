@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +90,7 @@ def test_facade_resizes_to_tsdf_resolution():
     assert stats["num_active"] > 0
 
 
+@pytest.mark.slow  # ~37 s: full CLI incl. meshing; folder/facade paths stay fast
 def test_offline_eval_cli(tmp_path, capsys):
     from ra_slam_tpu.pipeline.offline_eval import main
 
@@ -109,6 +112,7 @@ def test_offline_eval_cli(tmp_path, capsys):
     assert json.loads(line)["frames"] == 3
 
 
+@pytest.mark.slow  # ~28 s: .sens round trip through the CLI
 def test_offline_eval_cli_sens(tmp_path):
     """CLI over a real .sens file written by our writer."""
     from ra_slam_tpu.io import write_sens

@@ -16,7 +16,9 @@ def test_fake_mode_matches_reference_semantics():
 
 
 def test_random_engine_outputs_probabilities(tmp_path):
-    eng = InferenceEngine("__random__", width=64, height=48, widths=(8, 16, 32))
+    # two-level UNet: the 3-level variant only adds ~13 s of XLA compile
+    # to the fast tier without exercising any extra code path
+    eng = InferenceEngine("__random__", width=64, height=48, widths=(8, 16))
     rgb = (np.random.default_rng(0).uniform(0, 255, (48, 64, 3))).astype(np.uint8)
     ht, lt = eng.infer_one(rgb)
     assert ht.shape == (48, 64)
@@ -26,7 +28,7 @@ def test_random_engine_outputs_probabilities(tmp_path):
     # save / load round trip
     path = str(tmp_path / "seg.msgpack")
     eng.save(path)
-    eng2 = InferenceEngine(path, width=64, height=48, widths=(8, 16, 32))
+    eng2 = InferenceEngine(path, width=64, height=48, widths=(8, 16))
     ht2, _ = eng2.infer_one(rgb)
     np.testing.assert_allclose(ht, ht2, atol=1e-5)
 

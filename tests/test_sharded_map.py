@@ -53,7 +53,10 @@ def _canon(rows: np.ndarray) -> np.ndarray:
     return rows[order]
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize(
+    "n_dev",
+    [2, pytest.param(8, marks=pytest.mark.slow)],  # 8-way is ~37 s
+)
 def test_sharded_matches_single_device(n_dev):
     devs = jax.devices()[:n_dev]
     mesh = Mesh(np.array(devs), ("map",))

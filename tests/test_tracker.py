@@ -55,7 +55,7 @@ def test_track_synthetic_orbit():
     for i in range(1, 8):
         f = ds.frame(i)
         kp = detect(rgb_to_gray(jnp.asarray(f.rgb, jnp.float32)))
-        state, res = track(state, kp)
+        state, res = track(state, kp, jnp.asarray(f.depth))
         assert not bool(state.lost), f"lost at frame {i} (inliers={int(res.num_inliers)})"
         if bool(res.need_keyframe):
             state, _, _ = ins(state, kp, jnp.asarray(f.depth), res.lm_idx)
@@ -82,6 +82,6 @@ def test_tracking_lost_on_textureless():
     state = state._replace(initialized=jnp.array(True))
     blank = jnp.zeros((240, 320))
     kp = detect_and_describe(blank, fcfg)
-    state, res = track_frame(state, kp, cam, tcfg)
+    state, res = track_frame(state, kp, blank, cam, tcfg)
     assert bool(state.lost)
     assert int(res.num_inliers) < tcfg.min_inliers
