@@ -25,6 +25,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(x):
+    """Honest device sync: `jax.block_until_ready` is a NO-OP on the
+    remote-tunnel TPU backend (measured: a 13.7-TFLOP program "blocked"
+    in 0.0 ms while device_get then waited 2.5 s), so every timing here
+    syncs by transferring one dependent scalar instead."""
+    return jax.device_get(x)
+
+
 def _mark(msg):
     """Progress marker on stderr (stdout stays one JSON line)."""
     print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
@@ -47,13 +55,13 @@ def bench_fusion(frames, cam, poses, cfg):
     )
     m = create_map(cfg)
     m, stats = step(m, rgbs[0], depths[0], hts[0], lts[0], cam, poses[0])
-    jax.block_until_ready(m.tsdf)
+    _sync(stats["num_active"])
 
     m = create_map(cfg)
     t0 = time.perf_counter()
     for i in range(len(frames)):
         m, stats = step(m, rgbs[i], depths[i], hts[i], lts[i], cam, poses[i])
-    jax.block_until_ready(m.tsdf)
+    _sync(stats["num_active"])
     dt = time.perf_counter() - t0
     assert int(stats["alloc_failures"]) == 0, "allocation overflow during bench"
     return len(frames) / dt, m
@@ -93,11 +101,11 @@ def bench_raycast(m, cam, pose, cfg, iters=15):
 
     rc = jax.jit(functools.partial(raycast, cam=cam, cfg=cfg))
     out = rc(m, cam_T_world=pose)
-    jax.block_until_ready(out["depth"])
+    _sync(out["dropped_splats"])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = rc(m, cam_T_world=pose)
-    jax.block_until_ready(out["depth"])
+    _sync(out["depth"][0, 0])
     return iters / (time.perf_counter() - t0)
 
 
@@ -105,7 +113,10 @@ def bench_meshing(m, cfg):
     from ra_slam_tpu.map.meshing import extract_mesh
 
     t0 = time.perf_counter()
-    verts, idx, probs = extract_mesh(m, cfg)
+    # the 168 m^2 box at 1 cm voxels measures ~7.1M marching-tetrahedra
+    # triangles; budget one power of two above (sized-to-count buffers
+    # keep actual memory proportional to the measured surface)
+    verts, idx, probs = extract_mesh(m, cfg, max_tris=1 << 23)
     dt = time.perf_counter() - t0
     return dt, len(verts), len(idx)
 
@@ -120,11 +131,11 @@ def bench_matching(iters=30):
     b = jnp.asarray(rng.integers(0, 2**32, (20000, 8), dtype=np.uint32))
     fn = jax.jit(hamming_matrix)
     out = fn(a, b)
-    jax.block_until_ready(out)
+    _sync(out[0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(a, b)
-    jax.block_until_ready(out)
+    _sync(out[0, 0])
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 

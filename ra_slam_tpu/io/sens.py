@@ -208,13 +208,19 @@ def write_sens(
     depth_shift: float = 1000.0,
     sensor_name: str = "ra_slam_tpu",
     timestamps_us: Optional[Sequence[int]] = None,
+    color_compression: int = COLOR_JPEG,
 ) -> None:
-    """Write a version-4 `.sens` file (JPEG color + zlib depth).
+    """Write a version-4 `.sens` file (JPEG or PNG color + zlib depth).
 
     Mirrors `SensorData::saveToFile` (`sensorData.hpp:296-340`); used for
-    fixtures and for re-exporting captured sequences.
+    fixtures and for re-exporting captured sequences. ScanNet v2 ships
+    JPEG color, but the format allows PNG (`sensorData.hpp` TYPE_PNG) —
+    both are supported for full format parity.
     """
     import cv2
+
+    if color_compression not in (COLOR_JPEG, COLOR_PNG):
+        raise ValueError("color_compression must be COLOR_JPEG or COLOR_PNG")
 
     k4 = np.eye(4, dtype=np.float32)
     intrinsic = np.asarray(intrinsic, np.float32)
@@ -228,16 +234,21 @@ def write_sens(
         f.write(struct.pack("<Q", len(name)) + name)
         for mat in (k4, np.eye(4, dtype=np.float32), k4, np.eye(4, dtype=np.float32)):
             f.write(mat.astype("<f4").tobytes())
-        f.write(struct.pack("<ii", COLOR_JPEG, DEPTH_ZLIB_USHORT))
+        f.write(struct.pack("<ii", color_compression, DEPTH_ZLIB_USHORT))
         f.write(struct.pack("<4I", cw, ch, w, h))
         f.write(struct.pack("<f", float(depth_shift)))
         f.write(struct.pack("<Q", len(rgbs)))
         for i, (rgb, d, c2w) in enumerate(zip(rgbs, depths_raw, camera_to_world)):
-            ok, enc = cv2.imencode(
-                ".jpg",
-                cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR),
-                [cv2.IMWRITE_JPEG_QUALITY, 95],
-            )
+            if color_compression == COLOR_JPEG:
+                ok, enc = cv2.imencode(
+                    ".jpg",
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95],
+                )
+            else:
+                ok, enc = cv2.imencode(
+                    ".png", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
+                )
             assert ok
             color_blob = enc.tobytes()
             depth_blob = zlib.compress(

@@ -77,6 +77,27 @@ def owner_of(key: jax.Array, n_shards: int) -> jax.Array:
     return (h % n_shards).astype(jnp.int32)
 
 
+def owner_slab(
+    key: jax.Array, n_shards: int, cell_log2: int = 2
+) -> jax.Array:
+    """Spatially-coherent owner: round-robin x-slabs of 2^cell_log2
+    blocks, owner = (bx >> cell_log2) mod n.
+
+    The property hash ownership cannot give: a block's 2x2x2 corner
+    neighborhood (all the mesher/trilinear-raycast ever reads,
+    `/root/reference/utils/tsdf/voxel_tsdf.cu:583-586`) crosses at most
+    ONE slab boundary in +x, so every remote neighbor any shard needs is
+    a LEFT-EDGE block (bx ≡ 0 mod 2^c) of the next shard — the whole
+    halo exchange is one `ppermute` instead of an all-gather, and peak
+    per-device memory is O(local + halo), not O(global map). Fine
+    striping (default 4-block ≈ 32-voxel slabs, repeating every
+    n·2^c blocks) keeps room-scale scenes load-balanced."""
+    if n_shards == 1:
+        return jnp.zeros_like(key)
+    bx = unpack_block_coords(key)[..., 0]
+    return jnp.mod(bx >> cell_log2, n_shards).astype(jnp.int32)
+
+
 def voxel_offsets() -> jax.Array:
     """[512, 3] int32: intra-block voxel offsets in x-major order
     (matches the reference's OffsetToIndex layout

@@ -33,7 +33,7 @@ def ensure_built() -> str:
     ):
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-            "-o", _SO, "-lz", "-ljpeg", "-lpthread",
+            "-o", _SO, "-lz", "-ljpeg", "-lpng16", "-lpthread",
         ]
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     return _SO

@@ -25,6 +25,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <png.h>
 #include <zlib.h>
 
 #include <atomic>
@@ -210,6 +211,24 @@ static bool decode_jpeg(const uint8_t* blob, size_t n, uint8_t* rgb_out,
   return true;
 }
 
+// PNG color frames (sensorData.hpp TYPE_PNG): libpng16 simplified API.
+static bool decode_png(const uint8_t* blob, size_t n, uint8_t* rgb_out,
+                       uint32_t w, uint32_t h) {
+  png_image img;
+  std::memset(&img, 0, sizeof(img));
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&img, blob, n)) return false;
+  if (img.width != w || img.height != h) {
+    png_image_free(&img);
+    return false;
+  }
+  img.format = PNG_FORMAT_RGB;
+  const bool ok =
+      png_image_finish_read(&img, nullptr, rgb_out, 0, nullptr) != 0;
+  png_image_free(&img);
+  return ok;
+}
+
 // Decode frame idx: rgb_out [color_h * color_w * 3] u8,
 // depth_out [depth_h * depth_w] u16. Thread-safe (pread).
 int sens_decode(void* h, int idx, uint8_t* rgb_out, uint16_t* depth_out) {
@@ -219,8 +238,11 @@ int sens_decode(void* h, int idx, uint8_t* rgb_out, uint16_t* depth_out) {
 
   std::vector<uint8_t> blob(fr.color_len);
   if (!read_exact(s->fd, blob.data(), fr.color_len, fr.color_off)) return -2;
-  if (s->color_comp == 2 || s->color_comp == 1) {  // JPEG (PNG unsupported)
+  if (s->color_comp == 2) {  // JPEG
     if (!decode_jpeg(blob.data(), blob.size(), rgb_out, s->color_w, s->color_h))
+      return -3;
+  } else if (s->color_comp == 1) {  // PNG
+    if (!decode_png(blob.data(), blob.size(), rgb_out, s->color_w, s->color_h))
       return -3;
   } else {  // raw
     std::memcpy(rgb_out, blob.data(),

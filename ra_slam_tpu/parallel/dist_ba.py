@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ra_slam_tpu.core.camera import PinholeCamera
-from ra_slam_tpu.core.se3 import SE3, exp_se3
+from ra_slam_tpu.core.se3 import SE3, exp_se3, log_se3
 from ra_slam_tpu.slam.ba import (
     BAStats,
     BAWindow,
@@ -57,8 +57,14 @@ def _solve_shard(
     iterations: int,
     huber_delta: float,
     damping: float,
+    chi2_prune: float,
+    pose_prior: float,
 ):
-    """shard_map body: iterate GN with psum-reduced camera system."""
+    """shard_map body: iterate GN with psum-reduced camera system.
+
+    Mirrors `slam.ba.solve_window` exactly (two-phase chi2 outlier
+    removal + odometry pose prior) so the distributed result matches
+    the single-device one bit-for-bit up to reduction order."""
     W = win.kf_free.shape[0]
     Lloc = points_l.shape[0]
     shard = jax.lax.axis_index(axis)
@@ -68,7 +74,8 @@ def _solve_shard(
     own = (win.obs_l >= lo) & (win.obs_l < lo + Lloc)
     obs_l_loc = jnp.clip(win.obs_l - lo, 0, Lloc - 1)
 
-    def iteration(_, carry):
+    def make_iteration(obs_w):
+      def iteration(_, carry):
         poses, points = carry
         # residuals against the LOCAL point shard (win.obs_uv etc. are
         # replicated; point lookups use local indices, non-owned rows
@@ -76,7 +83,7 @@ def _solve_shard(
         win_loc = win._replace(obs_l=obs_l_loc)
         r, J_p, J_x, ok = _residuals(poses, points, win_loc, cam)
         r2 = jnp.sum(r * r, -1)
-        w = win.obs_w * own * ok * _robust_weight(r2, huber_delta)
+        w = obs_w * own * ok * _robust_weight(r2, huber_delta)
 
         free_n = win.kf_free[win.obs_k]
         J_p_f = J_p * free_n[:, None, None]
@@ -102,7 +109,10 @@ def _solve_shard(
         eye3 = jnp.eye(3, dtype=Hll.dtype)
         Hll_d = Hll + (damping + 1e-8) * eye3 + damping * Hll * eye3
         occupied = point_ok_l & (jnp.einsum("lii->l", Hll) > 1e-12)
-        Hinv = jnp.linalg.inv(jnp.where(occupied[:, None, None], Hll_d, eye3))
+        with jax.default_matmul_precision("highest"):
+            Hinv = jnp.linalg.inv(
+                jnp.where(occupied[:, None, None], Hll_d, eye3)
+            )
         Hinv = jnp.where(occupied[:, None, None], Hinv, 0.0)
 
         # shard-partial reduced system -> exact sum over shards (each
@@ -117,14 +127,19 @@ def _solve_shard(
         S = jax.lax.psum(S_part, axis)  # <- ICI collective
         rhs = jax.lax.psum(rhs_part, axis)
 
-        prior = jnp.where(win.kf_free, damping, _FIX_PRIOR)
+        prior = jnp.where(win.kf_free, damping + pose_prior, _FIX_PRIOR)
         S = S.at[diag, :, diag, :].add(
             prior[:, None, None] * jnp.eye(6, dtype=S.dtype)
         )
+        dev = jax.vmap(lambda a, b: log_se3(a @ b.inverse()))(
+            poses, win.poses
+        )
+        rhs = rhs + pose_prior * dev * win.kf_free[:, None]
 
-        dxi = -jnp.linalg.solve(
-            S.reshape(W * 6, W * 6), rhs.reshape(W * 6)
-        ).reshape(W, 6)
+        with jax.default_matmul_precision("highest"):
+            dxi = -jnp.linalg.solve(
+                S.reshape(W * 6, W * 6), rhs.reshape(W * 6)
+            ).reshape(W, 6)
         dxi = jnp.where(jnp.all(jnp.isfinite(dxi)), dxi, jnp.zeros_like(dxi))
         dxi = clamp_twist(dxi) * win.kf_free[:, None]
 
@@ -137,14 +152,26 @@ def _solve_shard(
 
         return exp_se3(dxi) @ poses, points + dx
 
+      return iteration
+
+    n1 = max(iterations // 2, 1)
     poses_out, points_out = jax.lax.fori_loop(
-        0, iterations, iteration, (poses, points_l), unroll=True
+        0, n1, make_iteration(win.obs_w), (poses, points_l), unroll=True
+    )
+    # chi2 outlier removal between phases (matches solve_window)
+    win_loc = win._replace(obs_l=obs_l_loc)
+    rp, _, _, okp = _residuals(poses_out, points_out, win_loc, cam)
+    obs_w2 = jnp.where(
+        okp & (jnp.sum(rp * rp, -1) <= chi2_prune), win.obs_w, 0.0
+    )
+    poses_out, points_out = jax.lax.fori_loop(
+        0, max(iterations - n1, 0), make_iteration(obs_w2),
+        (poses_out, points_out), unroll=True,
     )
 
     # distributed weighted rmse (before handled by caller on entry state)
-    win_loc = win._replace(obs_l=obs_l_loc)
     r1, _, _, ok1 = _residuals(poses_out, points_out, win_loc, cam)
-    w1 = win.obs_w * own * ok1
+    w1 = obs_w2 * own * ok1
     sum_r2 = jax.lax.psum(jnp.sum(jnp.where(w1 > 0, jnp.sum(r1 * r1, -1), 0.0)), axis)
     n1 = jax.lax.psum(jnp.sum((w1 > 0).astype(jnp.float32)), axis)
     rmse = jnp.sqrt(sum_r2 / jnp.maximum(n1, 1.0))
@@ -159,6 +186,8 @@ def solve_window_distributed(
     iterations: int = 8,
     huber_delta: float = 3.0,
     damping: float = 1e-4,
+    chi2_prune: float = 36.0,
+    pose_prior: float = 2e3,
 ) -> Tuple[SE3, jax.Array, BAStats]:
     """Distributed solve of a gathered window; L must divide the mesh."""
     L = win.points.shape[0]
@@ -171,6 +200,7 @@ def solve_window_distributed(
     body = functools.partial(
         _solve_shard, cam=cam, axis=axis, iterations=iterations,
         huber_delta=huber_delta, damping=damping,
+        chi2_prune=chi2_prune, pose_prior=pose_prior,
     )
     # poses replicated; landmark slots + ok sharded on L; win replicated
     poses, points, rmse1 = jax.shard_map(
@@ -204,12 +234,13 @@ def distributed_bundle_adjustment(
     max_points: int = 4096,
     iterations: int = 8,
     huber_delta: float = 3.0,
+    pose_prior: float = 2e3,
 ) -> Tuple[Keyframes, Landmarks, BAStats]:
     """gather -> distributed Schur solve -> scatter (jit-able)."""
     win = gather_window(kfs, lms, kf_counter, window, max_points)
     poses, points, stats = solve_window_distributed(
         win, cam, mesh, axis=axis, iterations=iterations,
-        huber_delta=huber_delta,
+        huber_delta=huber_delta, pose_prior=pose_prior,
     )
     kfs, lms = scatter_window(kfs, lms, win, poses, points)
     return kfs, lms, stats

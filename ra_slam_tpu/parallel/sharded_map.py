@@ -35,7 +35,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ra_slam_tpu.core.camera import PinholeCamera
 from ra_slam_tpu.core.config import TsdfConfig
 from ra_slam_tpu.core.se3 import SE3
-from ra_slam_tpu.map.blocks import INVALID_KEY, owner_of
+from ra_slam_tpu.map.blocks import (
+    BLOCK_LEN,
+    INVALID_KEY,
+    owner_of,
+    owner_slab,
+    unpack_block_coords,
+)
 from ra_slam_tpu.map.hash_table import ht_insert
 from ra_slam_tpu.map.voxel_map import (
     VoxelMap,
@@ -115,6 +121,14 @@ def create_sharded_map(cfg: TsdfConfig, mesh: Mesh) -> VoxelMap:
     return jax.jit(build)()
 
 
+def _owner_fn(owner_mode: str, cell_log2: int):
+    if owner_mode == "hash":
+        return owner_of
+    if owner_mode == "slab":
+        return functools.partial(owner_slab, cell_log2=cell_log2)
+    raise ValueError(f"unknown owner_mode {owner_mode!r}")
+
+
 def _sharded_integrate_frame(
     m: VoxelMap,
     rgb_img: jax.Array,
@@ -127,12 +141,14 @@ def _sharded_integrate_frame(
     n_shards: int,
     alloc_stride: int,
     carve: bool,
+    owner_mode: str = "hash",
+    cell_log2: int = 2,
 ) -> Tuple[VoxelMap, dict]:
     """Body run per-shard under shard_map (m is the LOCAL shard)."""
     shard = jax.lax.axis_index(MAP_AXIS)
 
     keys = depth_to_candidate_keys(depth_img, cam, cam_T_world, lcfg, alloc_stride)
-    mine = owner_of(keys, n_shards) == shard
+    mine = _owner_fn(owner_mode, cell_log2)(keys, n_shards) == shard
     keys = jnp.where(mine, keys, INVALID_KEY)
     m = allocate_keys(m, keys)
 
@@ -153,12 +169,16 @@ def _sharded_integrate_frame(
 
 
 def make_sharded_integrate_step(
-    mesh: Mesh, cfg: TsdfConfig, alloc_stride: int = 1, carve: bool = True
+    mesh: Mesh, cfg: TsdfConfig, alloc_stride: int = 1, carve: bool = True,
+    owner_mode: str = "hash", cell_log2: int = 2,
 ):
     """Compile the sharded per-frame fusion step for `mesh`.
 
     Returns step(m, rgb, depth, ht, lt, cam, cam_T_world) -> (m, stats)
     where m is a sharded global VoxelMap from `create_sharded_map`.
+    `owner_mode="slab"` assigns spatially-coherent x-slab ownership so
+    the export path can use the O(local+halo) neighbor exchange
+    (`extract_mesh_sharded`) instead of the full all-gather.
     """
     n = mesh.shape[MAP_AXIS]
     lcfg = local_config(cfg, n)
@@ -171,6 +191,8 @@ def make_sharded_integrate_step(
         n_shards=n,
         alloc_stride=alloc_stride,
         carve=carve,
+        owner_mode=owner_mode,
+        cell_log2=cell_log2,
     )
     fn = _shard_map(
         body,
@@ -279,3 +301,164 @@ def make_gather_shards(
     )
     fn = _shard_map(body, mesh=mesh, in_specs=(specs,), out_specs=(P(), P()))
     return jax.jit(fn), gcfg
+
+
+# ---------------------------------------------------------------------------
+# Neighbor halo exchange (slab ownership): O(local + halo) export
+# ---------------------------------------------------------------------------
+
+
+def _halo_augment_body(
+    m: VoxelMap, cap_h: int, cell_log2: int, n_shards: int
+) -> Tuple[VoxelMap, jax.Array]:
+    """Per-shard body: push this shard's LEFT-EDGE active blocks
+    (bx ≡ 0 mod 2^c — the only blocks any other shard's 2x2x2 corner
+    neighborhood can reach, see `blocks.owner_slab`) to the shard on the
+    left with ONE `ppermute`, and insert the received halo into the local
+    pool/hash as NON-active rows: hash lookups (the mesher's corner
+    gathers) find them, the shard's own triangle emission never iterates
+    them. Returns (augmented local map, dropped count)."""
+    bx = unpack_block_coords(m.block_key)[:, 0]
+    edge = m.active & (jnp.mod(bx, 1 << cell_log2) == 0)
+    rank = jnp.cumsum(edge.astype(jnp.int32)) - 1
+    dest = jnp.where(edge & (rank < cap_h), rank, cap_h)
+
+    def compact(x, fill):
+        out_shape = (cap_h,) + x.shape[1:]
+        return jnp.full(out_shape, fill, x.dtype).at[dest].set(x, mode="drop")
+
+    send_keys = compact(m.block_key, INVALID_KEY)
+    send_tsdf = compact(m.tsdf, 1.0)
+    send_weight = compact(m.weight, 0.0)
+    send_prob = compact(m.prob, 0.5)
+    send_rgb = compact(m.rgb, 0.0)
+    dropped = jnp.sum(edge.astype(jnp.int32)) - jnp.sum(
+        (send_keys != INVALID_KEY).astype(jnp.int32)
+    )
+
+    # deliver shard i+1's buffer to shard i (the +x neighbor's slab)
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    rk = jax.lax.ppermute(send_keys, MAP_AXIS, perm)
+    rt = jax.lax.ppermute(send_tsdf, MAP_AXIS, perm)
+    rw = jax.lax.ppermute(send_weight, MAP_AXIS, perm)
+    rp = jax.lax.ppermute(send_prob, MAP_AXIS, perm)
+    rc = jax.lax.ppermute(send_rgb, MAP_AXIS, perm)
+
+    # insert halo rows into free pool slots (cumsum free-list, the same
+    # allocator trick as `voxel_map.allocate_keys`)
+    N = m.num_blocks
+    free = ~m.active
+    frank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    freelist = jnp.full((cap_h,), -1, jnp.int32)
+    fdest = jnp.where(free & (frank < cap_h), frank, cap_h)
+    freelist = freelist.at[fdest].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    )
+    hvalid = rk != INVALID_KEY
+    row = jnp.where(hvalid, freelist, -1)
+    placed_pool = hvalid & (row >= 0)
+    widx = jnp.where(placed_pool, row, N)
+
+    table, slots, placed_ht = ht_insert(
+        m.table, rk, jnp.maximum(row, 0), hvalid & placed_pool
+    )
+    ok = placed_pool & placed_ht
+    widx = jnp.where(ok, widx, N)
+    dropped = dropped + jnp.sum((hvalid & ~ok).astype(jnp.int32))
+
+    m = m._replace(
+        table=table,
+        block_key=m.block_key.at[widx].set(rk, mode="drop"),
+        block_slot=m.block_slot.at[widx].set(slots, mode="drop"),
+        tsdf=m.tsdf.at[widx].set(rt, mode="drop"),
+        weight=m.weight.at[widx].set(rw, mode="drop"),
+        prob=m.prob.at[widx].set(rp, mode="drop"),
+        rgb=m.rgb.at[widx].set(rc, mode="drop"),
+        # active stays False for halo rows: present for neighbor
+        # lookups, never own-meshed (no duplicate triangles)
+    )
+    return m, jax.lax.psum(dropped, MAP_AXIS)
+
+
+def make_halo_augment(
+    mesh: Mesh, cfg: TsdfConfig, cell_log2: int = 2,
+    max_halo_per_shard: int | None = None,
+):
+    """Compile augment(m_sharded) -> (m_aug_sharded, dropped).
+
+    Requires the map to have been built with `owner_mode="slab"` and the
+    same `cell_log2`. The augmented map keeps the SAME sharded layout;
+    each shard's pool additionally holds its +x halo as inactive rows,
+    so per-device memory stays O(local + halo) — the SURVEY §5.7 ghost-
+    block replication, vs. the O(global) `make_gather_shards` path."""
+    n = mesh.shape[MAP_AXIS]
+    lcfg = local_config(cfg, n)
+    cap_h = max_halo_per_shard or max(
+        256, lcfg.num_blocks >> max(cell_log2 - 1, 0)
+    )
+    specs = map_partition_specs()
+    body = functools.partial(
+        _halo_augment_body, cap_h=cap_h, cell_log2=cell_log2, n_shards=n
+    )
+    fn = _shard_map(body, mesh=mesh, in_specs=(specs,), out_specs=(specs, P()))
+    return jax.jit(fn), lcfg
+
+
+def extract_mesh_sharded(
+    m: VoxelMap,
+    mesh: Mesh,
+    cfg: TsdfConfig,
+    cell_log2: int = 2,
+    min_weight: float = 1.5,
+    **mesh_kw,
+):
+    """Mesh a slab-sharded map with O(local + halo) per-device memory.
+
+    One halo `ppermute` (ICI), then each shard triangulates ONLY its own
+    active blocks — slabs are disjoint, so concatenating the per-shard
+    meshes is exactly the global mesh. Returns
+    (vertices [V,3], indices [T,3], probs [V], stats dict)."""
+    import numpy as np
+
+    from ra_slam_tpu.map.meshing import extract_mesh
+
+    augment, lcfg = make_halo_augment(mesh, cfg, cell_log2=cell_log2)
+    m_aug, dropped = augment(m)
+
+    n = mesh.shape[MAP_AXIS]
+    host = jax.device_get(m_aug)
+
+    def shard_slice(leaf, i):
+        if leaf.ndim == 0:
+            return leaf
+        loc = leaf.shape[0] // n
+        return leaf[i * loc : (i + 1) * loc]
+
+    verts_all, idx_all, probs_all = [], [], []
+    peak_blocks = 0
+    v_off = 0
+    for i in range(n):
+        local = jax.tree.map(lambda a: jnp.asarray(shard_slice(a, i)), host)
+        local = local._replace(alloc_failures=jnp.int32(0))
+        peak_blocks = max(peak_blocks, int(jnp.sum(
+            (local.block_key != INVALID_KEY)
+            & (local.weight.max(axis=-1) > 0)
+        )))
+        v, t, p = extract_mesh(local, lcfg, min_weight=min_weight, **mesh_kw)
+        if len(v):
+            verts_all.append(v)
+            idx_all.append(t + v_off)
+            probs_all.append(p)
+            v_off += len(v)
+    if not verts_all:
+        return (
+            np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
+            np.zeros((0,), np.float32), {"dropped": int(dropped),
+                                         "peak_blocks_per_shard": 0},
+        )
+    return (
+        np.concatenate(verts_all, axis=0),
+        np.concatenate(idx_all, axis=0),
+        np.concatenate(probs_all, axis=0),
+        {"dropped": int(dropped), "peak_blocks_per_shard": peak_blocks},
+    )

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ra_slam_tpu.core.camera import PinholeCamera
-from ra_slam_tpu.core.se3 import SE3, exp_se3
+from ra_slam_tpu.core.se3 import SE3, exp_se3, log_se3
 from ra_slam_tpu.slam.keyframes import Keyframes
 from ra_slam_tpu.slam.landmarks import Landmarks
 
@@ -267,6 +267,7 @@ def solve_window(
     huber_delta: float = 3.0,
     damping: float = 1e-4,
     chi2_prune: float = 36.0,  # px^2; observations beyond are REMOVED
+    pose_prior: float = 2e3,  # odometry prior toward the pre-BA pose
 ) -> Tuple[SE3, jax.Array, BAStats]:
     """Run Schur-complement GN on a gathered window.
 
@@ -337,14 +338,28 @@ def solve_window(
         S = -S_off
         diag = jnp.arange(W)
         S = S.at[diag, :, diag, :].add(Hpp)
-        # gauge + padding prior, plus LM damping on the pose blocks
-        prior = jnp.where(win.kf_free, damping, _FIX_PRIOR)
+        # gauge + padding prior, plus LM damping on the pose blocks,
+        # plus a weak ABSOLUTE prior toward each free pose's pre-BA
+        # estimate. The newest keyframes' landmarks are often observed
+        # by no fixed-observer row (the camera moved on), so that
+        # sub-block's gauge is otherwise pinned only by step damping
+        # and can slide coherently several cm per solve (measured:
+        # ~2-4 cm of systematic per-keyframe drift injection on the
+        # orbit bench). The per-frame depth-anchored odometry that
+        # produced the estimate is good to ~mm, so trusting it softly
+        # pins exactly the null-space modes.
+        prior = jnp.where(win.kf_free, damping + pose_prior, _FIX_PRIOR)
         S = S.at[diag, :, diag, :].add(
             prior[:, None, None] * jnp.eye(6, dtype=S.dtype)
         )
+        # prior residual: deviation from the pre-BA pose accumulated so
+        # far (zero at the first iteration)
+        dev = jax.vmap(lambda a, b: log_se3(a @ b.inverse()))(
+            poses, win.poses
+        )  # [W, 6]
         rhs = gp - jnp.einsum(
             "lkab,lbc,lc->ka", U, Hinv, gl, precision=_HIGH
-        )  # [W, 6]
+        ) + pose_prior * dev * win.kf_free[:, None]  # [W, 6]
 
         with jax.default_matmul_precision("highest"):
             dxi = -jnp.linalg.solve(
@@ -426,6 +441,7 @@ def global_bundle_adjustment(
     iterations: int = 4,
     sweeps: int = 2,
     huber_delta: float = 3.0,
+    pose_prior: float = 2e3,
 ) -> Tuple[Keyframes, Landmarks, BAStats]:
     """Map-wide structure+pose refinement (the reference's background
     global BA, provided there by g2o inside OpenVSLAM — SURVEY.md §2.8).
@@ -455,7 +471,8 @@ def global_bundle_adjustment(
             kfs_c, lms_c, kf_counter, window, max_points, start=start
         )
         poses, points, st = solve_window(
-            win, cam, iterations=iterations, huber_delta=huber_delta
+            win, cam, iterations=iterations, huber_delta=huber_delta,
+            pose_prior=pose_prior,
         )
         kfs_c, lms_c = scatter_window(kfs_c, lms_c, win, poses, points)
         nf = st.num_obs.astype(jnp.float32)
@@ -496,13 +513,15 @@ def local_bundle_adjustment(
     iterations: int = 8,
     huber_delta: float = 3.0,
     n_fixed: int = 4,
+    pose_prior: float = 2e3,
 ) -> Tuple[Keyframes, Landmarks, BAStats]:
     """Gather → solve → scatter: the full local BA step (jit-able)."""
     win = gather_window(
         kfs, lms, kf_counter, window, max_points, n_fixed=n_fixed
     )
     poses, points, stats = solve_window(
-        win, cam, iterations=iterations, huber_delta=huber_delta
+        win, cam, iterations=iterations, huber_delta=huber_delta,
+        pose_prior=pose_prior,
     )
     kfs, lms = scatter_window(kfs, lms, win, poses, points)
     return kfs, lms, stats

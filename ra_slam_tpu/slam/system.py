@@ -225,7 +225,12 @@ class FrameInfo:
         return float(self._pull().ba_shift)
 
     def block(self) -> "FrameInfo":
-        jax.block_until_ready(self._dev.t)
+        # device_get, NOT jax.block_until_ready: on the remote-tunnel
+        # ("axon") TPU backend block_until_ready returns immediately
+        # without waiting for the computation (measured: a 13.7-TFLOP
+        # program "blocked" in 0.0 ms, then device_get waited 2.5 s).
+        # A tiny dependent transfer is the only honest sync there.
+        jax.device_get(self._dev.t)
         return self
 
 

@@ -77,10 +77,14 @@ def test_ba_converges_to_ground_truth():
     cam, kfs, lms, poses_gt, pts_gt, num_kf, num_pts = _make_problem()
     kfs, lms = _perturb(kfs, lms, num_kf, num_pts)
 
+    # pose_prior=0: this test checks the pure-BA exact-recovery property
+    # under perturbations far beyond odometry noise; the default
+    # odometry prior intentionally resists such corrections
     ba = jax.jit(
         functools.partial(
             local_bundle_adjustment,
             cam=cam, window=8, max_points=256, iterations=10,
+            pose_prior=0.0,
         )
     )
     kfs2, lms2, stats = ba(kfs, lms, jnp.int32(num_kf))
@@ -124,6 +128,7 @@ def test_global_ba_refines_outside_local_window():
         functools.partial(
             global_bundle_adjustment,
             cam=cam, window=4, max_points=256, iterations=6, sweeps=2,
+            pose_prior=0.0,  # exact-recovery property (see local test)
         )
     )
     kfs2, lms2, stats = gba(kfs, lms, jnp.int32(num_kf))

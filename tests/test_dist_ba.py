@@ -57,6 +57,7 @@ def test_distributed_ba_recovers_gt():
     kfs_d, lms_d, stats = distributed_bundle_adjustment(
         kfs_p, lms_p, jnp.int32(num_kf), cam, mesh,
         window=8, max_points=256, iterations=10,
+        pose_prior=0.0,  # exact-recovery property (see test_ba.py)
     )
     for k in range(1, num_kf):  # pose 0 is the gauge anchor
         xi = log_se3(SE3(kfs_d.R[k], kfs_d.t[k]) @ poses_gt[k].inverse())

@@ -107,3 +107,34 @@ def test_byte_queue_threaded(built):
     t.join()
     assert got == items
     q.destroy()
+
+
+def test_png_sens_roundtrip(tmp_path):
+    """PNG color parity (`sensorData.hpp` TYPE_PNG): write a PNG .sens,
+    read it back losslessly through BOTH decoders (pure-Python and the
+    C++ runtime)."""
+    import numpy as np
+    from ra_slam_tpu.io.sens import COLOR_PNG, SensReader, write_sens
+
+    rng = np.random.default_rng(3)
+    rgbs = [rng.integers(0, 255, (24, 32, 3), np.uint8) for _ in range(3)]
+    depths = [rng.integers(500, 3000, (24, 32), np.uint16) for _ in range(3)]
+    poses = [np.eye(4, dtype=np.float32) for _ in range(3)]
+    k = np.eye(4, dtype=np.float32); k[0, 0] = k[1, 1] = 20.0
+    path = str(tmp_path / "png.sens")
+    write_sens(path, rgbs, depths, poses, k, color_compression=COLOR_PNG)
+
+    r = SensReader(path)
+    assert r.color_compression == COLOR_PNG
+    f0 = r.frame(0)
+    np.testing.assert_array_equal(f0.rgb, rgbs[0])  # PNG is lossless
+    r.close()
+
+    from ra_slam_tpu.native import NativeSensReader
+    nat = NativeSensReader(path)
+    f1 = nat.frame(1)
+    np.testing.assert_array_equal(f1.rgb, rgbs[1])
+    np.testing.assert_array_equal(
+        (f1.depth * 1000.0 + 0.5).astype(np.uint16), depths[1]
+    )
+    nat.close()

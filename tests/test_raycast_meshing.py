@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ra_slam_tpu.core.camera import PinholeCamera
 from ra_slam_tpu.core.config import TsdfConfig
@@ -117,3 +118,60 @@ def test_save_mesh_binary_roundtrip(tmp_path):
     np.testing.assert_array_equal(v2, verts)
     np.testing.assert_array_equal(i2, indices)
     np.testing.assert_array_equal(p2, probs)
+
+
+@pytest.mark.slow
+def test_render_and_mesh_quality_vs_analytic_box():
+    """Quantitative quality vs analytic ground truth (VERDICT r02 #8):
+    fuse the synthetic box with GT poses, then (a) splat-rendered depth
+    must match the dataset's analytic depth to a bounded RMSE, and
+    (b) marching-tetrahedra vertices must lie on the box walls to a
+    bounded 95th-percentile distance (one-sided Hausdorff). Bounds are
+    a few voxels — the same regime as the reference's trilinear-refined
+    raycast (`/root/reference/utils/tsdf/voxel_tsdf.cu:305-345`)."""
+    from ra_slam_tpu.io.synthetic import SyntheticBoxDataset, SyntheticCameraSpec
+
+    spec = SyntheticCameraSpec(
+        fx=80.0, fy=80.0, cx=79.5, cy=59.5, width=160, height=120
+    )
+    ds = SyntheticBoxDataset(num_frames=24, cam=spec, radius=1.0,
+                             depth_noise=0.0, seed=0)
+    cfg = TsdfConfig(
+        voxel_size=0.04, truncation=0.16, max_depth=6.0,
+        raycast_min_weight=2.0, log2_num_blocks=12, log2_hash_size=14,
+        max_visible_blocks=2048, max_new_blocks=4096,
+        width=160, height=120,
+    )
+    m = create_map(cfg)
+    step = jax.jit(
+        lambda mm, rgb, d, pose: integrate_frame(
+            mm, rgb, d, jnp.zeros_like(d), jnp.zeros_like(d),
+            ds.camera, pose, cfg,
+        )[0]
+    )
+    for i in range(0, 24, 2):
+        f = ds.frame(i)
+        m = step(m, jnp.asarray(f.rgb, jnp.float32), jnp.asarray(f.depth),
+                 SE3.from_matrix(jnp.asarray(f.cam_T_world)))
+
+    # (a) rendered depth vs analytic depth
+    f0 = ds.frame(0)
+    out = raycast(m, ds.camera, SE3.from_matrix(jnp.asarray(f0.cam_T_world)), cfg)
+    hit = np.asarray(out["hit"])
+    depth = np.asarray(out["depth"])
+    gt_depth = np.asarray(f0.depth)
+    sel = hit & (gt_depth > 0)
+    assert sel.mean() > 0.7, f"render coverage {sel.mean():.2f}"
+    err = depth[sel] - gt_depth[sel]
+    rmse = float(np.sqrt((err ** 2).mean()))
+    assert rmse < 3 * cfg.voxel_size, f"depth rmse {rmse:.4f} m"
+    assert int(out["dropped_splats"]) == 0
+
+    # (b) mesh vertices vs wall planes (|x|=3, |y|=2, |z|=3)
+    verts, tris, probs = extract_mesh(m, cfg)
+    assert len(verts) > 500
+    v = np.asarray(verts)
+    he = np.array([3.0, 2.0, 3.0])
+    wall_d = np.min(np.abs(np.abs(v) - he[None, :]), axis=1)
+    p95 = float(np.percentile(wall_d, 95))
+    assert p95 < 2 * cfg.voxel_size, f"mesh wall p95 {p95:.4f} m"
