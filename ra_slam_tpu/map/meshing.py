@@ -392,6 +392,12 @@ def _mesh_device(
     (buf_v, buf_p, buf_hi, buf_lo, n_tris), _ = jax.lax.scan(
         body, (buf_v, buf_p, buf_hi, buf_lo, jnp.int32(0)), chunks
     )
+    return buf_v, buf_p, buf_hi, buf_lo, n_tris
+
+
+@partial(jax.jit, static_argnames=())
+def _dedup_device(buf_v, buf_p, buf_hi, buf_lo, n_tris):
+    cap = buf_v.shape[0]
 
     # ---- on-device shared-vertex dedup (sort-unique, the block-alloc
     # trick applied to edge keys; sentinel keys 0xFFFFFFFF sort last)
@@ -427,7 +433,6 @@ def _mesh_device(
         .at[rep]
         .set(buf_p.reshape(M)[src], mode="drop")
     )
-    del n_active
     return uniq_v, uniq_p, inverse, n_tris, n_verts
 
 
@@ -470,13 +475,29 @@ def extract_mesh(
         )
     cap = 1 << max(14, (n - 1).bit_length())
     cap = min(cap, max(max_tris, n))
-    uniq_v, uniq_p, inverse, n_tris, n_verts = _mesh_device(
-        m, cfg.voxel_size, min_weight, chunk, cap
-    )
-    v = int(n_verts)
-    vertices = np.asarray(uniq_v[:v])
-    probs = np.asarray(uniq_p[:v])
-    indices = np.asarray(inverse[:n])
+    soup = _mesh_device(m, cfg.voxel_size, min_weight, chunk, cap)
+    if cap <= (1 << 21):
+        uniq_v, uniq_p, inverse, n_tris, n_verts = _dedup_device(*soup)
+        v = int(n_verts)
+        vertices = np.asarray(uniq_v[:v])
+        probs = np.asarray(uniq_p[:v])
+        indices = np.asarray(inverse[:n])
+    else:
+        # past ~2M triangles the on-device lexsort's working set
+        # (multi-operand sort over 3*cap rows) exceeds HBM (measured
+        # 28 GB at cap=2^23); ship the compacted soup and dedup in
+        # numpy — the export already crosses device->host anyway
+        buf_v, buf_p, buf_hi, buf_lo, _n_tris = jax.device_get(soup)
+        key = (buf_hi[:n].astype(np.uint64) << np.uint64(32)) | buf_lo[
+            :n
+        ].astype(np.uint64)
+        flat = key.reshape(-1)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        first = np.full(len(uniq), len(flat), np.int64)
+        np.minimum.at(first, inv, np.arange(len(flat)))
+        vertices = buf_v[:n].reshape(-1, 3)[first]
+        probs = buf_p[:n].reshape(-1)[first]
+        indices = inv.reshape(-1, 3).astype(np.int32)
     # drop triangles degenerated by the dedup (two corners on one edge)
     nondeg = (
         (indices[:, 0] != indices[:, 1])

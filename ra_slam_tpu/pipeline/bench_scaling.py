@@ -38,13 +38,13 @@ def _bench_mesh(mesh, cfg, frames, cam, poses, replicate) -> float:
     step = make_sharded_integrate_step(mesh, cfg, alloc_stride=2)
     args0 = [replicate(a) for a in frames[0]]
     m, stats = step(m, *args0, cam, poses[0])
-    jax.block_until_ready(m.tsdf)
+    jax.device_get(stats["num_active"])  # honest sync (see bench.py)
 
     m = create_sharded_map(cfg, mesh)
     t0 = time.perf_counter()
     for fr, pose in zip(frames, poses):
         m, stats = step(m, *[replicate(a) for a in fr], cam, pose)
-    jax.block_until_ready(m.tsdf)
+    jax.device_get(stats["num_active"])
     dt = time.perf_counter() - t0
     assert int(stats["alloc_failures"]) == 0
     return len(frames) / dt

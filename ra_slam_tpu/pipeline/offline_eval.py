@@ -163,7 +163,8 @@ def main(argv=None) -> dict:
                 os.path.join(args.download, f"render_{i:05d}.png"),
                 cv2.cvtColor(rgba, cv2.COLOR_RGBA2BGRA),
             )
-    jax.block_until_ready(sys_.map.tsdf)
+    # honest sync (block_until_ready is a no-op on the axon backend)
+    jax.device_get(sys_.map.weight[0, 0])
     wall = time.perf_counter() - t0
 
     result = {

@@ -41,7 +41,11 @@ class StageTimer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                # device_get, not block_until_ready: the latter is a
+                # NO-OP on the remote-tunnel TPU backend (see bench.py)
+                leaf = jax.tree_util.tree_leaves(block_on)[0]
+                jax.device_get(leaf.reshape(-1)[0]
+                               if hasattr(leaf, "reshape") else leaf)
             dt = time.perf_counter() - t0
             self.total_s[name] += dt
             self.count[name] += 1

@@ -36,7 +36,7 @@ slam = SlamSystem(
         track_max_age=int(os.environ.get("TRACK_AGE", 8)),
     ),
     ba_window=6, ba_max_points=2048, ba_iterations=5,
-    ba_every_kf=int(os.environ.get("BA_EVERY", 1)),
+    ba_every_kf=int(os.environ.get("BA_EVERY", 0)),
     loop_every_kf=1, loop_min_inliers=20,
     loop_min_gap=15,
     gba_after_loop=bool(int(os.environ.get("GBA", 1))),

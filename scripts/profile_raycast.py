@@ -18,13 +18,20 @@ from ra_slam_tpu.map.blocks import BLOCK_LEN, unpack_block_coords, voxel_offsets
 from ra_slam_tpu.map.voxel_map import create_map, integrate_frame, visible_blocks
 
 
+def _sync(out):
+    """Honest sync: block_until_ready is a NO-OP on the axon backend;
+    transfer one dependent element instead."""
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(leaf.reshape(-1)[0] if hasattr(leaf, "reshape") else leaf)
+
+
 def timeit(name, fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:40s} {dt:8.2f} ms")
     return out
