@@ -157,7 +157,9 @@ def main():
         max_depth=6.0,
         log2_num_blocks=17,
         log2_hash_size=19,
-        max_visible_blocks=1 << 14,
+        # the orbit views measure ~6.3k visible blocks; the cap sizes
+        # every per-visible-block working set (integrate + raycast)
+        max_visible_blocks=1 << 13,
         max_new_blocks=1 << 15,
         width=640,
         height=480,

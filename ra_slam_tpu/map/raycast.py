@@ -93,6 +93,7 @@ def raycast(
     cam_T_world: SE3,
     cfg: TsdfConfig,
     shell: float = 0.5,
+    splats_per_block: int = 128,
 ) -> dict:
     """Render the map from a virtual camera by TSDF splatting.
 
@@ -145,26 +146,35 @@ def raycast(
     pix_all = (vi * W + jnp.clip(ui, 0, W - 1)).reshape(-1)
 
     # compact valid splats before z-buffering: scatter cost scales with
-    # the INPUT element count, and most voxels fail the shell/weight/
-    # frustum gates. Only the flat SPLAT INDEX is compacted (one scatter
-    # with unique ascending destinations — XLA's fast path); every other
-    # channel arrives by gathering through it at the compacted size,
-    # which replaced five more full-size compaction scatters and cut the
-    # 640x480 render from ~285 ms to the scatter-min floor.
-    s_cap = max(1 << 15, (valid.shape[0] // 4))
-    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    dest = jnp.where(valid & (rank < s_cap), rank, s_cap)
-    # overflow observability (repo principle: count, don't truncate
-    # silently): splats beyond s_cap are dropped in arbitrary pool order
-    n_dropped = jnp.maximum(rank[-1] + 1 - s_cap, 0)
-
-    src = (
-        jnp.full((s_cap,), valid.shape[0], jnp.int32)
-        .at[dest]
-        .set(jnp.arange(valid.shape[0], dtype=jnp.int32), mode="drop")
+    # the INPUT element count, and ~92% of voxels fail the shell/weight/
+    # frustum gates (measured 638k valid of 8.4M at bench scale). A
+    # GLOBAL compaction scatter over the 8.4M candidates was itself the
+    # hottest stage (82 ms); instead each block compacts its own 512
+    # voxels to K=`splats_per_block` slots with a one-hot matmul — a
+    # [V,512]x[V,512,K] einsum the MXU does in ~1 ms — compacting only
+    # the flat SPLAT INDEX (f32-exact: indices < 2^24). Every other
+    # channel arrives by gathering through it at the [V*K] size, so the
+    # z-buffer scatters shrink 4-8x. Per-block overflow beyond K is
+    # counted, never silent.
+    V = vis_idx.shape[0]
+    K = splats_per_block
+    valid_vb = valid.reshape(V, 512)
+    rank = jnp.cumsum(valid_vb.astype(jnp.int32), axis=1) - 1  # [V,512]
+    slot = jnp.where(valid_vb & (rank < K), rank, K)
+    n_dropped = jnp.sum(
+        jnp.maximum(rank[:, -1] + 1 - K, 0), dtype=jnp.int32
     )
-    pad_ok = src < valid.shape[0]
-    srcc = jnp.minimum(src, valid.shape[0] - 1)
+    oh = jax.nn.one_hot(slot, K, dtype=jnp.float32)  # [V,512,K]
+    sidx_f = (
+        jnp.arange(V * 512, dtype=jnp.float32).reshape(V, 512)
+    )
+    src_f = jnp.einsum(
+        "vs,vsk->vk", sidx_f + 1.0, oh,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [V,K]; 0 = empty slot
+    src = src_f.reshape(-1).astype(jnp.int32) - 1
+    pad_ok = src >= 0
+    srcc = jnp.maximum(src, 0)
 
     pix = jnp.where(pad_ok, pix_all[srcc], n_pix)
     z_flat = jnp.where(pad_ok, z_surf.reshape(-1)[srcc], jnp.inf)
