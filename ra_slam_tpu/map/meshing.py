@@ -247,38 +247,53 @@ def _count_block(tsdf9, weight9, min_weight):
     return total
 
 
-@partial(jax.jit, static_argnames=("min_weight", "chunk"))
-def _count_device(m: VoxelMap, min_weight: float, chunk: int) -> jax.Array:
-    """Total isosurface triangle count of the whole map (one scalar)."""
-    N = m.num_blocks
-    act = m.active
-    rank = jnp.cumsum(act.astype(jnp.int32)) - 1
-    dest = jnp.where(act, rank, N)
-    order = jnp.full((N,), -1, jnp.int32).at[dest].set(
-        jnp.arange(N, dtype=jnp.int32), mode="drop"
+@partial(jax.jit, static_argnames=("min_weight",))
+def _count_chunk(
+    m: VoxelMap, bidx: jax.Array, min_weight: float
+) -> jax.Array:
+    """Exact per-block triangle counts [chunk] for one chunk of blocks."""
+    keys = jnp.where(bidx >= 0, m.block_key[jnp.maximum(bidx, 0)], 0)
+    coords = unpack_block_coords(keys)
+    nbr_keys = pack_block_coords(
+        coords[:, None, :] + jnp.asarray(_NBR_OFFS)[None]
     )
-    n_chunks = (N + chunk - 1) // chunk
-    pad = n_chunks * chunk - N
-    chunks = jnp.concatenate(
-        [order, jnp.full((pad,), -1, jnp.int32)]
-    ).reshape(n_chunks, chunk)
+    nbr_idx = ht_lookup(m.table, nbr_keys.reshape(-1)).reshape(
+        nbr_keys.shape
+    )
+    t9 = _gather_halo(m, bidx, nbr_idx, m.tsdf, 1.0)
+    w9 = _gather_halo(m, bidx, nbr_idx, m.weight, 0.0)
+    c = jax.vmap(lambda a, b: _count_block(a, b, min_weight))(t9, w9)
+    return jnp.where(bidx >= 0, c, 0)
 
-    def body(total, bidx):
-        keys = jnp.where(bidx >= 0, m.block_key[jnp.maximum(bidx, 0)], 0)
-        coords = unpack_block_coords(keys)
-        nbr_keys = pack_block_coords(
-            coords[:, None, :] + jnp.asarray(_NBR_OFFS)[None]
-        )
-        nbr_idx = ht_lookup(m.table, nbr_keys.reshape(-1)).reshape(
-            nbr_keys.shape
-        )
-        t9 = _gather_halo(m, bidx, nbr_idx, m.tsdf, 1.0)
-        w9 = _gather_halo(m, bidx, nbr_idx, m.weight, 0.0)
-        c = jax.vmap(lambda a, b: _count_block(a, b, min_weight))(t9, w9)
-        return total + jnp.sum(jnp.where(bidx >= 0, c, 0)), None
 
-    total, _ = jax.lax.scan(body, jnp.int32(0), chunks)
-    return total
+def _surface_census(m: VoxelMap, min_weight: float, chunk: int):
+    """Per-surface-block pool indices + triangle counts.
+
+    Host-driven chunk loop over ACTIVE blocks (see `_mesh_chunk` for the
+    rationale); returns numpy (surf_idx [S], surf_counts [S]) covering
+    exactly the blocks that emit >= 1 triangle, in pool-compaction order
+    — the analog of the reference's count-then-gather prefix-sum scheme
+    (`/root/reference/utils/tsdf/voxel_tsdf.cu:736-845`)."""
+    order, n_active = _active_order(m)
+    n_act = int(n_active)
+    n_chunks = max(1, (n_act + chunk - 1) // chunk)
+    order = jnp.concatenate([order, jnp.full((chunk,), -1, jnp.int32)])
+    counts = []
+    for c in range(n_chunks):
+        bidx = jax.lax.dynamic_slice(order, (c * chunk,), (chunk,))
+        counts.append(_count_chunk(m, bidx, min_weight))
+    # ONE device->host round-trip for all chunks (per-chunk np.asarray
+    # would pay the remote-tunnel RTT n_chunks times)
+    counts = np.asarray(jnp.concatenate(counts))
+    order_np = np.asarray(order[: n_chunks * chunk])
+    surf = counts > 0
+    return order_np[surf], counts[surf]
+
+
+def _count_device(m: VoxelMap, min_weight: float, chunk: int) -> int:
+    """Total isosurface triangle count (kept for tests/back-compat)."""
+    _, surf_counts = _surface_census(m, min_weight, chunk)
+    return int(surf_counts.sum())
 
 
 def _pack_edge_keys(edges: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -311,31 +326,10 @@ def _pack_edge_keys(edges: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
-@partial(
-    jax.jit, static_argnames=("voxel_size", "min_weight", "chunk", "max_tris")
-)
-def _mesh_device(
-    m: VoxelMap,
-    voxel_size: float,
-    min_weight: float,
-    chunk: int,
-    max_tris: int,
-):
-    """The whole extraction as ONE device program.
-
-    A `lax.scan` over block chunks triangulates and compacts every valid
-    triangle into a global buffer (running cumsum offset — the analog of
-    the reference's prefix-sum mesh compaction, `voxel_tsdf.cu:736-845`),
-    then shared vertices are deduplicated on device by lexsorting packed
-    edge keys. Only the final compact mesh crosses the device->host
-    boundary (the chunked predecessor synced + shipped ~3T raw vertices
-    per chunk over the link).
-
-    Returns (verts [cap,3,3], probs [cap,3], uniq_v [3*cap,3],
-    uniq_p [3*cap], inverse [cap,3], n_tris, n_verts).
-    """
+@jax.jit
+def _active_order(m: VoxelMap):
+    """Compacted active block indices [N] (-1 padding) + active count."""
     N = m.num_blocks
-    # compact active block indices (cumsum-scatter; order = pool order)
     act = m.active
     rank = jnp.cumsum(act.astype(jnp.int32)) - 1
     dest = jnp.where(act, rank, N)
@@ -343,67 +337,155 @@ def _mesh_device(
     order = jnp.full((N,), -1, jnp.int32).at[dest].set(
         jnp.arange(N, dtype=jnp.int32), mode="drop"
     )
-    n_chunks = (N + chunk - 1) // chunk
-    pad = n_chunks * chunk - N
-    chunks = jnp.concatenate(
-        [order, jnp.full((pad,), -1, jnp.int32)]
+    return order, n_active
+
+
+@partial(
+    jax.jit,
+    static_argnames=("voxel_size", "min_weight", "c_max"),
+    donate_argnums=(2, 3, 4, 5),
+)
+def _mesh_chunk(
+    m: VoxelMap,
+    bidx: jax.Array,
+    buf_v: jax.Array,
+    buf_p: jax.Array,
+    buf_hi: jax.Array,
+    buf_lo: jax.Array,
+    offset: jax.Array,
+    voxel_size: float,
+    min_weight: float,
+    c_max: int,
+):
+    """Triangulate one chunk of SURFACE blocks and append the valid
+    triangles into the (donated, in-place) global buffers at `offset`.
+
+    Host-driven chunk loop instead of one `lax.scan` device program:
+    the 512-iteration scan was a minutes-long single program that the
+    remote TPU worker killed ("worker crashed or restarted"), and it
+    swept every POOL slot; the census-driven loop visits only blocks
+    that emit triangles.
+
+    Compaction is a SORT + contiguous append, not a giant scatter: the
+    previous global-buffer scatters processed every one of the
+    chunk*4608 candidate slots (~97% invalid) per chunk — 21M scattered
+    elements per 256 blocks, measured 141 s for the whole bench map.
+    Valid candidate indices sort to the front (ascending, so triangle
+    order is preserved), payloads arrive by small gathers at c_max, and
+    one dynamic_update_slice appends the run — sentinel-keyed in the
+    invalid tail, which the next chunk's append overwrites.
+
+    ALL large buffers are flat 1-D: a TPU f32 tile is (8, 128), so any
+    [big, 3] / [big, 3, 3] array pads its minor dims to (4-8,)x(128,) —
+    a measured 56.9x expansion that turned the 288 MB vertex buffer
+    into a 16 GB allocation (round-3 bench OOM). 1-D arrays pad to the
+    next tile only: negligible.
+
+    `c_max` must be >= the chunk's true triangle count (the census is
+    exact, so the caller guarantees it); buffers carry c_max slack so
+    the final append never clamps.
+    """
+    keys = jnp.where(bidx >= 0, m.block_key[jnp.maximum(bidx, 0)], 0)
+    coords = unpack_block_coords(keys)
+    nbr_keys = pack_block_coords(
+        coords[:, None, :] + jnp.asarray(_NBR_OFFS)[None]
+    )
+    nbr_idx = ht_lookup(m.table, nbr_keys.reshape(-1)).reshape(
+        nbr_keys.shape
+    )
+    t9 = _gather_halo(m, bidx, nbr_idx, m.tsdf, 1.0)
+    w9 = _gather_halo(m, bidx, nbr_idx, m.weight, 0.0)
+    p9 = _gather_halo(m, bidx, nbr_idx, m.prob, 0.5)
+    base = coords * BLOCK_LEN
+
+    verts, probs, valid, edges = jax.vmap(
+        lambda a, b, c, d: _mesh_block(a, b, c, d, voxel_size, min_weight)
+    )(t9, w9, p9, base)
+    valid = (valid & (bidx >= 0)[:, None]).reshape(-1)  # [B*4608]
+    n_cand = valid.shape[0]
+    tri_v = verts.reshape(-1)  # [T*9] tri-major (vertex, coord)
+    tri_p = probs.reshape(-1)  # [T*3]
+    hi, lo = _pack_edge_keys(edges.reshape(-1, 2, 3))
+
+    # valid candidate indices to the front, original order preserved
+    skeys = jax.lax.sort(
+        jnp.where(valid, jnp.arange(n_cand, dtype=jnp.int32), n_cand)
+    )
+    src = jax.lax.slice(skeys, (0,), (c_max,))
+    ok = src < n_cand
+    srcc = jnp.minimum(src, n_cand - 1)
+    src3 = (srcc[:, None] * 3 + jnp.arange(3)[None]).reshape(-1)
+    src9 = (srcc[:, None] * 9 + jnp.arange(9)[None]).reshape(-1)
+    ok3 = jnp.repeat(ok, 3)
+    run_v = jnp.where(jnp.repeat(ok, 9), tri_v[src9], 0.0)
+    run_p = jnp.where(ok3, tri_p[src3], 0.0)
+    run_hi = jnp.where(ok3, hi.reshape(-1)[src3], jnp.uint32(0xFFFFFFFF))
+    run_lo = jnp.where(ok3, lo.reshape(-1)[src3], jnp.uint32(0xFFFFFFFF))
+
+    buf_v = jax.lax.dynamic_update_slice(buf_v, run_v, (offset * 9,))
+    buf_p = jax.lax.dynamic_update_slice(buf_p, run_p, (offset * 3,))
+    buf_hi = jax.lax.dynamic_update_slice(buf_hi, run_hi, (offset * 3,))
+    buf_lo = jax.lax.dynamic_update_slice(buf_lo, run_lo, (offset * 3,))
+    offset = offset + jnp.sum(valid.astype(jnp.int32))
+    return buf_v, buf_p, buf_hi, buf_lo, offset
+
+
+def _mesh_device(
+    m: VoxelMap,
+    voxel_size: float,
+    min_weight: float,
+    chunk: int,
+    max_tris: int,
+    surf_idx: np.ndarray | None = None,
+    surf_counts: np.ndarray | None = None,
+):
+    """Emit the whole triangle soup into flat device buffers.
+
+    Returns (buf_v [(cap+c_max)*9], buf_p [...*3], buf_hi, buf_lo,
+    n_tris) — see `_mesh_chunk` for the layout and host-loop rationale.
+    Buffers carry c_max append slack past `max_tris`.
+    """
+    if surf_idx is None:
+        surf_idx, surf_counts = _surface_census(m, min_weight, chunk)
+    n_surf = len(surf_idx)
+    n_chunks = max(1, (n_surf + chunk - 1) // chunk)
+    pad = n_chunks * chunk - n_surf
+    order = jnp.asarray(
+        np.concatenate([surf_idx, np.full(pad, -1, np.int32)]).astype(
+            np.int32
+        )
     ).reshape(n_chunks, chunk)
+    # exact per-chunk triangle totals -> power-of-two append width
+    csum = np.concatenate(
+        [surf_counts, np.zeros(pad, surf_counts.dtype if n_surf else np.int64)]
+    ).reshape(n_chunks, chunk).sum(axis=1)
+    peak = int(csum.max()) if n_chunks else 1
+    c_max = 1 << max(12, (max(peak, 1) - 1).bit_length())
 
     cap = max_tris
-    buf_v = jnp.zeros((cap, 3, 3), jnp.float32)
-    buf_p = jnp.zeros((cap, 3), jnp.float32)
-    buf_hi = jnp.full((cap, 3), jnp.uint32(0xFFFFFFFF))
-    buf_lo = jnp.full((cap, 3), jnp.uint32(0xFFFFFFFF))
-
-    def body(carry, bidx):
-        buf_v, buf_p, buf_hi, buf_lo, offset = carry
-        keys = jnp.where(bidx >= 0, m.block_key[jnp.maximum(bidx, 0)], 0)
-        coords = unpack_block_coords(keys)
-        nbr_keys = pack_block_coords(
-            coords[:, None, :] + jnp.asarray(_NBR_OFFS)[None]
+    buf_v = jnp.zeros(((cap + c_max) * 9,), jnp.float32)
+    buf_p = jnp.zeros(((cap + c_max) * 3,), jnp.float32)
+    buf_hi = jnp.full(((cap + c_max) * 3,), jnp.uint32(0xFFFFFFFF))
+    buf_lo = jnp.full(((cap + c_max) * 3,), jnp.uint32(0xFFFFFFFF))
+    offset = jnp.int32(0)
+    for c in range(n_chunks):
+        buf_v, buf_p, buf_hi, buf_lo, offset = _mesh_chunk(
+            m, order[c], buf_v, buf_p, buf_hi, buf_lo, offset,
+            voxel_size, min_weight, c_max,
         )
-        nbr_idx = ht_lookup(m.table, nbr_keys.reshape(-1)).reshape(
-            nbr_keys.shape
-        )
-        t9 = _gather_halo(m, bidx, nbr_idx, m.tsdf, 1.0)
-        w9 = _gather_halo(m, bidx, nbr_idx, m.weight, 0.0)
-        p9 = _gather_halo(m, bidx, nbr_idx, m.prob, 0.5)
-        base = coords * BLOCK_LEN
-
-        verts, probs, valid, edges = jax.vmap(
-            lambda a, b, c, d: _mesh_block(a, b, c, d, voxel_size, min_weight)
-        )(t9, w9, p9, base)
-        valid = (valid & (bidx >= 0)[:, None]).reshape(-1)  # [B*4608]
-        tri_v = verts.reshape(-1, 3, 3)
-        tri_p = probs.reshape(-1, 3)
-        hi, lo = _pack_edge_keys(edges.reshape(-1, 2, 3))
-        tri_hi = hi.reshape(-1, 3)
-        tri_lo = lo.reshape(-1, 3)
-
-        rank = jnp.cumsum(valid.astype(jnp.int32)) - 1 + offset
-        dst = jnp.where(valid & (rank < cap), rank, cap)
-        buf_v = buf_v.at[dst].set(tri_v, mode="drop")
-        buf_p = buf_p.at[dst].set(tri_p, mode="drop")
-        buf_hi = buf_hi.at[dst].set(tri_hi, mode="drop")
-        buf_lo = buf_lo.at[dst].set(tri_lo, mode="drop")
-        offset = offset + jnp.sum(valid.astype(jnp.int32))
-        return (buf_v, buf_p, buf_hi, buf_lo, offset), None
-
-    (buf_v, buf_p, buf_hi, buf_lo, n_tris), _ = jax.lax.scan(
-        body, (buf_v, buf_p, buf_hi, buf_lo, jnp.int32(0)), chunks
-    )
-    return buf_v, buf_p, buf_hi, buf_lo, n_tris
+    return buf_v, buf_p, buf_hi, buf_lo, offset
 
 
 @partial(jax.jit, static_argnames=())
 def _dedup_device(buf_v, buf_p, buf_hi, buf_lo, n_tris):
-    cap = buf_v.shape[0]
+    """All inputs/outputs flat 1-D (see `_mesh_device` layout note):
+    buf_v [cap*9], buf_p/hi/lo [cap*3]. Returns uniq_v flat [M*3]."""
+    M = buf_p.shape[0]  # 3 * cap vertices
 
     # ---- on-device shared-vertex dedup (sort-unique, the block-alloc
     # trick applied to edge keys; sentinel keys 0xFFFFFFFF sort last)
-    M = 3 * cap
-    hi = buf_hi.reshape(M)
-    lo = buf_lo.reshape(M)
+    hi = buf_hi
+    lo = buf_lo
     perm = jnp.lexsort((lo, hi))
     s_hi, s_lo = hi[perm], lo[perm]
     is_sent = (s_hi == jnp.uint32(0xFFFFFFFF)) & (
@@ -417,21 +499,19 @@ def _dedup_device(buf_v, buf_p, buf_hi, buf_lo, n_tris):
     ) & ~is_sent
     uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # [M]
     n_verts = jnp.sum(first.astype(jnp.int32))
-    inverse = (
-        jnp.zeros((M,), jnp.int32).at[perm].set(uid_sorted).reshape(cap, 3)
-    )
+    inverse = jnp.zeros((M,), jnp.int32).at[perm].set(uid_sorted)
     # representative (first-occurrence) vertex data per unique id
     rep = jnp.where(first, uid_sorted, M)
-    src = perm  # original flat slot of each sorted element
+    src = perm  # original flat vertex slot of each sorted element
+    rep3 = (rep[:, None] * 3 + jnp.arange(3)[None]).reshape(-1)
+    src3 = (src[:, None] * 3 + jnp.arange(3)[None]).reshape(-1)
     uniq_v = (
-        jnp.zeros((M, 3), jnp.float32)
-        .at[rep]
-        .set(buf_v.reshape(M, 3)[src], mode="drop")
+        jnp.zeros((M * 3,), jnp.float32)
+        .at[rep3]
+        .set(buf_v[src3], mode="drop")
     )
     uniq_p = (
-        jnp.zeros((M,), jnp.float32)
-        .at[rep]
-        .set(buf_p.reshape(M)[src], mode="drop")
+        jnp.zeros((M,), jnp.float32).at[rep].set(buf_p[src], mode="drop")
     )
     return uniq_v, uniq_p, inverse, n_tris, n_verts
 
@@ -461,7 +541,8 @@ def extract_mesh(
     chip at bench scale; a surface beyond `max_tris` now raises a clean
     ValueError instead of a device OOM.
     """
-    n = int(_count_device(m, min_weight, chunk))
+    surf_idx, surf_counts = _surface_census(m, min_weight, chunk)
+    n = int(surf_counts.sum())
     if n == 0:
         return (
             np.zeros((0, 3), np.float32),
@@ -475,28 +556,28 @@ def extract_mesh(
         )
     cap = 1 << max(14, (n - 1).bit_length())
     cap = min(cap, max(max_tris, n))
-    soup = _mesh_device(m, cfg.voxel_size, min_weight, chunk, cap)
-    if cap <= (1 << 21):
+    soup = _mesh_device(
+        m, cfg.voxel_size, min_weight, chunk, cap, surf_idx, surf_counts
+    )
+    if cap <= (1 << 22):
         uniq_v, uniq_p, inverse, n_tris, n_verts = _dedup_device(*soup)
         v = int(n_verts)
-        vertices = np.asarray(uniq_v[:v])
+        vertices = np.asarray(uniq_v[: 3 * v]).reshape(v, 3)
         probs = np.asarray(uniq_p[:v])
-        indices = np.asarray(inverse[:n])
+        indices = np.asarray(inverse[: 3 * n]).reshape(n, 3)
     else:
-        # past ~2M triangles the on-device lexsort's working set
-        # (multi-operand sort over 3*cap rows) exceeds HBM (measured
-        # 28 GB at cap=2^23); ship the compacted soup and dedup in
-        # numpy — the export already crosses device->host anyway
+        # past ~4M triangles the on-device lexsort's multi-operand
+        # working set is the limit; ship the compacted soup and dedup
+        # in numpy — the export already crosses device->host anyway
         buf_v, buf_p, buf_hi, buf_lo, _n_tris = jax.device_get(soup)
-        key = (buf_hi[:n].astype(np.uint64) << np.uint64(32)) | buf_lo[
-            :n
-        ].astype(np.uint64)
-        flat = key.reshape(-1)
-        uniq, inv = np.unique(flat, return_inverse=True)
-        first = np.full(len(uniq), len(flat), np.int64)
-        np.minimum.at(first, inv, np.arange(len(flat)))
-        vertices = buf_v[:n].reshape(-1, 3)[first]
-        probs = buf_p[:n].reshape(-1)[first]
+        key = (
+            buf_hi[: 3 * n].astype(np.uint64) << np.uint64(32)
+        ) | buf_lo[: 3 * n].astype(np.uint64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        first = np.full(len(uniq), len(key), np.int64)
+        np.minimum.at(first, inv, np.arange(len(key)))
+        vertices = buf_v[: 9 * n].reshape(-1, 3)[first]
+        probs = buf_p[: 3 * n][first]
         indices = inv.reshape(-1, 3).astype(np.int32)
     # drop triangles degenerated by the dedup (two corners on one edge)
     nondeg = (

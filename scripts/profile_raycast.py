@@ -1,8 +1,8 @@
 """Stage-level profile of the raycast splatting pipeline on the bench map.
 
 Builds the same 60-frame fused map as bench.py, then times isolated
-stages of `map/raycast.py` to locate the bottleneck (VERDICT r2: 3.5 f/s
-at 640x480 vs the reference's interactive renderer).
+stages of the CURRENT `map/raycast.py` (per-block one-hot compaction)
+to locate the bottleneck. Also profiles one integrate_frame step.
 """
 import functools
 import time
@@ -19,8 +19,6 @@ from ra_slam_tpu.map.voxel_map import create_map, integrate_frame, visible_block
 
 
 def _sync(out):
-    """Honest sync: block_until_ready is a NO-OP on the axon backend;
-    transfer one dependent element instead."""
     leaf = jax.tree.leaves(out)[0]
     jax.device_get(leaf.reshape(-1)[0] if hasattr(leaf, "reshape") else leaf)
 
@@ -33,7 +31,7 @@ def timeit(name, fn, *args, iters=10):
         out = fn(*args)
     _sync(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name:40s} {dt:8.2f} ms")
+    print(f"{name:44s} {dt:8.2f} ms", flush=True)
     return out
 
 
@@ -45,30 +43,37 @@ def main():
                              half_extents=(3.0, 2.0, 3.0), radius=1.0)
     cfg = TsdfConfig(voxel_size=0.01, truncation=0.06, max_depth=6.0,
                      log2_num_blocks=17, log2_hash_size=19,
-                     max_visible_blocks=1 << 14, max_new_blocks=1 << 15,
+                     max_visible_blocks=1 << 13, max_new_blocks=1 << 15,
                      width=640, height=480)
     cam = ds.camera
     step = jax.jit(functools.partial(integrate_frame, cfg=cfg, alloc_stride=2),
                    donate_argnums=(0,))
     m = create_map(cfg)
+    f0 = ds.frame(0)
+    args0 = (jnp.asarray(f0.rgb, jnp.float32), jnp.asarray(f0.depth),
+             jnp.asarray(f0.ht), jnp.asarray(f0.lt))
     for i in range(n_frames):
         f = ds.frame(i)
         m, _ = step(m, jnp.asarray(f.rgb, jnp.float32), jnp.asarray(f.depth),
                     jnp.asarray(f.ht), jnp.asarray(f.lt), cam,
                     SE3.from_matrix(jnp.asarray(f.cam_T_world)))
-    jax.block_until_ready(m.tsdf)
+    _sync(m.tsdf)
     pose = SE3.from_matrix(jnp.asarray(ds.frame(0).cam_T_world))
-    print(f"active blocks: {int(jnp.sum(m.active))}")
+    print(f"active blocks: {int(jnp.sum(m.active))}", flush=True)
+
+    # integrate step (no donation so it can repeat on the same map)
+    step2 = jax.jit(functools.partial(integrate_frame, cfg=cfg, alloc_stride=2))
+    timeit("integrate_frame", lambda: step2(m, *args0, cam, pose)[1])
 
     H, W = cam.height, cam.width
     n_pix = H * W
+    shell = 0.5
+    K = 128
 
-    # stage 1: visibility
     vis = jax.jit(functools.partial(visible_blocks, cfg=cfg))
     vis_idx, vis_mask, count = timeit("visible_blocks", vis, m, cam, pose)
     print(f"  visible count: {int(count)} / cap {vis_idx.shape[0]}")
 
-    # stage 2: project + gate (no scatter)
     @jax.jit
     def project(m, pose):
         vis_idx, vis_mask, _ = visible_blocks(m, cam, pose, cfg)
@@ -86,64 +91,57 @@ def main():
         ui = jnp.round(uv[..., 0]).astype(jnp.int32)
         vi = jnp.round(uv[..., 1]).astype(jnp.int32)
         valid = (vis_mask[:, None] & (weight >= cfg.raycast_min_weight)
-                 & (jnp.abs(tsdf) < 0.5) & (z > 0.0)
+                 & (jnp.abs(tsdf) < shell) & (z > 0.0)
                  & (z_surf > cfg.min_depth) & (z_surf <= cfg.max_depth)
-                 & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)).reshape(-1)
+                 & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H))
         pix = (vi * W + jnp.clip(ui, 0, W - 1)).reshape(-1)
         return pix, z_surf.reshape(-1), valid
 
     pix_all, z_all, valid = timeit("project+gate", project, m, pose)
     nv = int(jnp.sum(valid))
-    print(f"  valid splats: {nv} / {valid.shape[0]} "
-          f"({100 * nv / valid.shape[0]:.1f}%)")
-
-    # stage 3: compaction scatter
-    s_cap = max(1 << 15, valid.shape[0] // 4)
+    V = valid.shape[0]
+    print(f"  valid splats: {nv} / {V*512} ({100 * nv / (V*512):.1f}%)"
+          f"  blocks with any: {int(jnp.sum(jnp.any(valid, axis=1)))}")
 
     @jax.jit
-    def compact(pix_all, z_all, valid):
-        rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-        dest = jnp.where(valid & (rank < s_cap), rank, s_cap)
-        pix = jnp.full((s_cap,), n_pix, jnp.int32).at[dest].set(
-            pix_all, mode="drop")
-        zc = jnp.full((s_cap,), jnp.inf, jnp.float32).at[dest].set(
-            z_all, mode="drop")
+    def onehot_compact(pix_all, z_all, valid):
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        slot = jnp.where(valid & (rank < K), rank, K)
+        oh = jax.nn.one_hot(slot, K, dtype=jnp.float32)
+        sidx_f = jnp.arange(V * 512, dtype=jnp.float32).reshape(V, 512)
+        src_f = jnp.einsum("vs,vsk->vk", sidx_f + 1.0, oh,
+                           precision=jax.lax.Precision.HIGHEST)
+        src = src_f.reshape(-1).astype(jnp.int32) - 1
+        pad_ok = src >= 0
+        srcc = jnp.maximum(src, 0)
+        pix = jnp.where(pad_ok, pix_all[srcc], n_pix)
+        zc = jnp.where(pad_ok, z_all[srcc], jnp.inf)
         return pix, zc
 
-    pix, zc = timeit("compaction scatter", compact, pix_all, z_all, valid)
+    pix, zc = timeit("per-block one-hot compact + gather", onehot_compact,
+                     pix_all, z_all, valid)
 
-    # stage 4: depth scatter-min over compacted splats
     @jax.jit
     def zmin(pix, zc):
         return jnp.full((n_pix,), jnp.inf, jnp.float32).at[pix].min(
             zc, mode="drop")
 
-    timeit("depth scatter-min (compacted)", zmin, pix, zc)
+    dmin = timeit(f"depth scatter-min ({V*K/1e6:.1f}M)", zmin, pix, zc)
 
-    # stage 4b: depth scatter-min straight over all splats (no compaction)
     @jax.jit
-    def zmin_all(pix_all, z_all, valid):
-        p = jnp.where(valid, pix_all, n_pix)
-        return jnp.full((n_pix,), jnp.inf, jnp.float32).at[p].min(
-            z_all, mode="drop")
+    def attr(pix, zc, dmin):
+        is_winner = (zc <= dmin[jnp.clip(pix, 0, n_pix - 1)] * (1.0 + 1e-4))
+        packed = jnp.where(is_winner, jnp.int32(1234567), 0)
+        return jnp.zeros((n_pix,), jnp.int32).at[
+            jnp.where(is_winner, pix, n_pix)].max(packed, mode="drop")
 
-    timeit("depth scatter-min (raw 8.4M)", zmin_all, pix_all, z_all, valid)
+    timeit("attr winner scatter-max", attr, pix, zc, dmin)
 
-    # stage 5: one packed attr scatter-min (as in resolve2)
-    @jax.jit
-    def attr(pix, zc):
-        dq = jnp.clip(zc / 6.06 * 32767, 0, 32767).astype(jnp.int32)
-        key = (dq << 16) + 1234
-        return jnp.full((n_pix,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
-            pix].min(key, mode="drop")
-
-    timeit("packed attr scatter-min x1", attr, pix, zc)
-
-    # stage 6: full raycast for reference
     from ra_slam_tpu.map.raycast import raycast
     rc = jax.jit(functools.partial(raycast, cam=cam, cfg=cfg))
     out = timeit("full raycast", rc, m, pose, iters=5)
-    print(f"  hit fraction: {float(jnp.mean(out['hit'])):.3f}")
+    print(f"  hit fraction: {float(jnp.mean(out['hit'])):.3f}  "
+          f"dropped: {int(out['dropped_splats'])}")
 
 
 if __name__ == "__main__":

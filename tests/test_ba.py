@@ -1,5 +1,6 @@
 """Schur-complement local BA: convergence on synthetic geometry."""
 
+import pytest
 import functools
 
 import jax
@@ -73,6 +74,7 @@ def _perturb(kfs, lms, num_kf, num_pts, pose_sigma=0.02, pt_sigma=0.05, seed=1):
     return kfs, lms
 
 
+@pytest.mark.slow
 def test_ba_converges_to_ground_truth():
     cam, kfs, lms, poses_gt, pts_gt, num_kf, num_pts = _make_problem()
     kfs, lms = _perturb(kfs, lms, num_kf, num_pts)

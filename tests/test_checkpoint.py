@@ -52,6 +52,7 @@ def test_pytree_shape_mismatch(tmp_path):
         load_pytree(path, {"a": jnp.zeros((4,))})
 
 
+@pytest.mark.slow
 def test_system_checkpoint_resume(tmp_path):
     spec = SyntheticCameraSpec(fx=80.0, fy=80.0, cx=79.5, cy=59.5,
                                width=160, height=120)

@@ -19,6 +19,7 @@ def _mesh(n=8):
     return Mesh(np.array(devs), ("ba",))
 
 
+@pytest.mark.slow
 def test_distributed_ba_matches_single_device():
     cam, kfs, lms, poses_gt, pts_gt, num_kf, num_pts = _make_problem()
     kfs_p, lms_p = _perturb(kfs, lms, num_kf, num_pts)

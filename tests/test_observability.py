@@ -1,5 +1,6 @@
 """Profiling spans, async logger, and the offline map viewer."""
 
+import pytest
 import os
 import time
 
@@ -65,6 +66,7 @@ def test_frame_logger_roundtrip(tmp_path):
     assert fr.ht is not None
 
 
+@pytest.mark.slow
 def test_viewer_orbit_and_follow(tmp_path):
     import functools
     import jax

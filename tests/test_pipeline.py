@@ -34,6 +34,7 @@ def _small_setup(num_frames=4):
     return ds, cfg
 
 
+@pytest.mark.slow
 def test_facade_gt_pose_fusion_and_queries(tmp_path):
     ds, cfg = _small_setup()
     sys_ = RaSlamSystem(cfg, segmentation_model=None, enable_tracking=False)

@@ -40,6 +40,7 @@ def fused_wall_map(n_frames=3, z=1.0):
     return m
 
 
+@pytest.mark.slow
 def test_raycast_hits_wall_at_right_depth():
     m = fused_wall_map(4)
     out = raycast(m, CAM, SE3.identity(), CFG)

@@ -1,5 +1,6 @@
 """Segmentation model + inference engine tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ def test_fake_mode_matches_reference_semantics():
     np.testing.assert_array_equal(lt, 1.0)
 
 
+@pytest.mark.slow
 def test_random_engine_outputs_probabilities(tmp_path):
     # two-level UNet: the 3-level variant only adds ~13 s of XLA compile
     # to the fast tier without exercising any extra code path

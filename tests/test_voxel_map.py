@@ -75,6 +75,7 @@ def test_pool_exhaustion_counts_failures():
     assert int(m.alloc_failures) == 12
 
 
+@pytest.mark.slow
 def test_integrate_frame_wall_geometry():
     m = create_map(CFG)
     rgb, depth, ht, lt = wall_frame(1.0)
