@@ -101,7 +101,7 @@ def bench_raycast(m, cam, pose, cfg, iters=15):
 
     rc = jax.jit(functools.partial(raycast, cam=cam, cfg=cfg))
     out = rc(m, cam_T_world=pose)
-    _sync(out["dropped_splats"])
+    assert int(_sync(out["dropped_splats"])) == 0, "shell-block overflow"
     t0 = time.perf_counter()
     for _ in range(iters):
         out = rc(m, cam_T_world=pose)
@@ -160,6 +160,9 @@ def main():
         # the orbit views measure ~6.3k visible blocks; the cap sizes
         # every per-visible-block working set (integrate + raycast)
         max_visible_blocks=1 << 13,
+        # ~2.1k visible blocks hold shell voxels at the render pose;
+        # 3072 gives 44% headroom (overflow counted in dropped_splats)
+        max_shell_blocks=3072,
         max_new_blocks=1 << 15,
         width=640,
         height=480,

@@ -57,6 +57,9 @@ class TsdfConfig:
     log2_hash_size: int = 18
     max_visible_blocks: int = 8192
     max_new_blocks: int = 8192  # per-frame allocation cap (overflow counted)
+    # raycast: cap on visible blocks holding renderable shell voxels
+    # (0 = max_visible_blocks // 2); overflow counted in dropped_splats
+    max_shell_blocks: int = 0
     # image feed size (reference `tsdf.width/height` yaml keys)
     width: int = 640
     height: int = 480

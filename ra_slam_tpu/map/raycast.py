@@ -19,21 +19,29 @@ for the surface, every voxel of every frustum-visible block *reports*
 where it is:
 
   1. frustum-cull + compact active blocks (cumsum-scatter, shared with
-     the integrate path);
-  2. project all [V, 512] voxel centers into the camera — one dense
-     matmul + elementwise pass, no gathers (payloads arrive by fast
-     row gather of whole blocks);
-  3. every near-surface voxel (|tsdf| < shell, weight >= min) splats a
-     *TSDF-corrected* depth: the range-scaled SDF stored by the
-     integrator localizes the zero crossing along the ray, so
-     z_surf = z_voxel + tsdf * truncation / (range/z). Every splat in
-     the 2x-truncation shell lands on the surface itself — sub-voxel
-     accuracy without the reference's trilinear refinement loop, and
-     a ~12-voxel-thick splat layer that keeps grazing surfaces
-     hole-free;
-  4. one scatter-min z-buffers 8.4M splats into the depth image;
-     color/semantics resolve with packed (depth16 | attr8) int32
-     scatter-mins (winner-take-nearest per channel);
+     the integrate path), then a **shell prefilter** keeps only blocks
+     holding any renderable voxel (|tsdf| < shell and enough weight) —
+     measured ~70% of visible blocks are interior/unobserved and
+     contribute no splat, so every downstream stage shrinks 3-4x;
+  2. project the surviving [V2, 512] voxel centers into the camera —
+     one dense matmul + elementwise pass (payloads arrive by fast
+     whole-block row gathers, never element gathers);
+  3. every near-surface voxel splats a *TSDF-corrected* depth: the
+     range-scaled SDF stored by the integrator localizes the zero
+     crossing along the ray, so z_surf = z_voxel + tsdf * trunc/d2r.
+     Every splat in the 2x-truncation shell lands on the surface
+     itself — sub-voxel accuracy without the reference's trilinear
+     refinement loop;
+  4. the z-buffer is a **device sort, not a scatter-min**: one
+     `lax.sort` over (pixel, depth, packed-attr) ranks every splat
+     behind its pixel's nearest (measured 2.7 ms for 1M splats vs
+     ~28 ms for the scatter-min + packed attr scatter-max cascade it
+     replaces); the first run element per pixel is the winner and
+     carries its own attributes, so depth AND color resolve from the
+     same sort with two cheap unique-index scatters (~1.8 ms each).
+     Nothing is dropped — there is no per-block splat budget to
+     overflow (the round-3 one-hot compaction dropped half the splats
+     of dense blocks at K=128);
   5. normals come from central differences of the *depth image*
      (screen-space), replacing the reference's 6 extra trilinear
      map lookups per hit with shifted dense slices.
@@ -52,7 +60,6 @@ from ra_slam_tpu.core.config import TsdfConfig
 from ra_slam_tpu.core.se3 import SE3
 from ra_slam_tpu.map.blocks import BLOCK_LEN, unpack_block_coords, voxel_offsets
 from ra_slam_tpu.map.voxel_map import VoxelMap, visible_blocks
-
 
 
 def _screen_space_normals(
@@ -93,38 +100,68 @@ def raycast(
     cam_T_world: SE3,
     cfg: TsdfConfig,
     shell: float = 0.5,
-    splats_per_block: int = 128,
+    splats_per_block: int | None = None,
+    max_shell_blocks: int | None = None,
 ) -> dict:
     """Render the map from a virtual camera by TSDF splatting.
 
     Returns dict with 'depth' [H,W] (z-depth, 0 = miss), 'rgba' [H,W,4]
     (uint8-range float, shaded + semantic overlay), 'normal' [H,W,3]
     (camera-frame), 'hit' [H,W] bool.
+
+    `splats_per_block` is accepted for back-compat and ignored: the
+    sort-based z-buffer has no per-block splat budget. The only
+    capacity is `max_shell_blocks` (default: half of
+    cfg.max_visible_blocks), the number of *blocks* that may carry
+    shell voxels at once; overflow is counted in 'dropped_splats'
+    (conservatively 512 per dropped block, 0 in healthy renders).
     """
+    del splats_per_block  # no per-block budget in the sort design
     H, W = cam.height, cam.width
     n_pix = H * W
-    world_T_cam = cam_T_world.inverse()
+    if max_shell_blocks is None:
+        max_shell_blocks = getattr(cfg, "max_shell_blocks", 0)
 
     vis_idx, vis_mask, _count = visible_blocks(m, cam, cam_T_world, cfg)
 
-    # voxel centers of visible blocks, world frame [V, 512, 3]
-    base = unpack_block_coords(m.block_key[vis_idx])  # [V, 3]
+    # --- shell prefilter + block compaction ------------------------------
+    tsdf_vis = m.tsdf[vis_idx]  # [V, 512] fast row gathers
+    w_vis = m.weight[vis_idx]
+    shell_voxel = (jnp.abs(tsdf_vis) < shell) & (
+        w_vis >= cfg.raycast_min_weight
+    )
+    has = vis_mask & jnp.any(shell_voxel, axis=1)  # [V]
+    n_has = jnp.sum(has.astype(jnp.int32))
+    V2 = max_shell_blocks or max(1, cfg.max_visible_blocks // 2)
+    rank = jnp.cumsum(has.astype(jnp.int32)) - 1
+    dest = jnp.where(has & (rank < V2), rank, V2)
+    sel = jnp.full((V2,), -1, jnp.int32).at[dest].set(vis_idx, mode="drop")
+    # vis-row (not pool-row) selection so the [V,512] gathers above are
+    # reused instead of re-gathered from the pool
+    vrow = jnp.full((V2,), 0, jnp.int32).at[dest].set(
+        jnp.arange(vis_idx.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    bmask = sel >= 0
+    selc = jnp.maximum(sel, 0)
+    dropped = jnp.maximum(n_has - V2, 0) * 512
+
+    tsdf = tsdf_vis[vrow]  # [V2, 512]
+    weight = w_vis[vrow]
+    rgb = m.rgb[selc]  # [V2, 512, 3]
+    prob = m.prob[selc]
+
+    # --- project voxel centers of shell blocks --------------------------
+    base = unpack_block_coords(m.block_key[selc])  # [V2, 3]
     offs = voxel_offsets()  # [512, 3]
     pts = (
         base[:, None, :].astype(jnp.float32) * BLOCK_LEN
         + offs[None].astype(jnp.float32)
         + 0.5
     ) * cfg.voxel_size
-
-    q = cam_T_world.apply(pts)  # [V, 512, 3] camera frame
+    q = cam_T_world.apply(pts)  # [V2, 512, 3] camera frame
     uv, z = cam.project(q)
     r = jnp.linalg.norm(q, axis=-1)
     d2r = r / jnp.maximum(z, 1e-9)  # range per unit depth
-
-    tsdf = m.tsdf[vis_idx]  # [V, 512] fast row gathers
-    weight = m.weight[vis_idx]
-    rgb = m.rgb[vis_idx]  # [V, 512, 3]
-    prob = m.prob[vis_idx]
 
     # TSDF-corrected surface depth along this pixel's ray
     z_surf = z + tsdf * cfg.truncation / d2r
@@ -132,7 +169,7 @@ def raycast(
     ui = jnp.round(uv[..., 0]).astype(jnp.int32)
     vi = jnp.round(uv[..., 1]).astype(jnp.int32)
     valid = (
-        vis_mask[:, None]
+        bmask[:, None]
         & (weight >= cfg.raycast_min_weight)
         & (jnp.abs(tsdf) < shell)
         & (z > 0.0)
@@ -142,80 +179,45 @@ def raycast(
         & (ui < W)
         & (vi >= 0)
         & (vi < H)
+    )
+
+    # --- sort-based z-buffer ---------------------------------------------
+    pix = jnp.where(valid, vi * W + jnp.clip(ui, 0, W - 1), n_pix).reshape(-1)
+    z_flat = jnp.where(valid, z_surf, jnp.inf).reshape(-1)
+
+    def q8(a):
+        return jnp.clip(a, 0, 255).astype(jnp.uint32)
+
+    attr = (
+        (q8(rgb[..., 0]) << jnp.uint32(24))
+        | (q8(rgb[..., 1]) << jnp.uint32(16))
+        | (q8(rgb[..., 2]) << jnp.uint32(8))
+        | q8(prob * 255.0)
     ).reshape(-1)
-    pix_all = (vi * W + jnp.clip(ui, 0, W - 1)).reshape(-1)
 
-    # compact valid splats before z-buffering: scatter cost scales with
-    # the INPUT element count, and ~92% of voxels fail the shell/weight/
-    # frustum gates (measured 638k valid of 8.4M at bench scale). A
-    # GLOBAL compaction scatter over the 8.4M candidates was itself the
-    # hottest stage (82 ms); instead each block compacts its own 512
-    # voxels to K=`splats_per_block` slots with a one-hot matmul — a
-    # [V,512]x[V,512,K] einsum the MXU does in ~1 ms — compacting only
-    # the flat SPLAT INDEX (f32-exact: indices < 2^24). Every other
-    # channel arrives by gathering through it at the [V*K] size, so the
-    # z-buffer scatters shrink 4-8x. Per-block overflow beyond K is
-    # counted, never silent.
-    V = vis_idx.shape[0]
-    K = splats_per_block
-    valid_vb = valid.reshape(V, 512)
-    rank = jnp.cumsum(valid_vb.astype(jnp.int32), axis=1) - 1  # [V,512]
-    slot = jnp.where(valid_vb & (rank < K), rank, K)
-    n_dropped = jnp.sum(
-        jnp.maximum(rank[:, -1] + 1 - K, 0), dtype=jnp.int32
+    pix_s, z_s, attr_s = jax.lax.sort((pix, z_flat, attr), num_keys=2)
+    first = (
+        jnp.concatenate([jnp.array([True]), pix_s[1:] != pix_s[:-1]])
+        & (pix_s < n_pix)
     )
-    oh = jax.nn.one_hot(slot, K, dtype=jnp.float32)  # [V,512,K]
-    sidx_f = (
-        jnp.arange(V * 512, dtype=jnp.float32).reshape(V, 512)
-    )
-    src_f = jnp.einsum(
-        "vs,vsk->vk", sidx_f + 1.0, oh,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [V,K]; 0 = empty slot
-    src = src_f.reshape(-1).astype(jnp.int32) - 1
-    pad_ok = src >= 0
-    srcc = jnp.maximum(src, 0)
-
-    pix = jnp.where(pad_ok, pix_all[srcc], n_pix)
-    z_flat = jnp.where(pad_ok, z_surf.reshape(-1)[srcc], jnp.inf)
-
+    widx = jnp.where(first, pix_s, n_pix)
     depth_min = (
         jnp.full((n_pix,), jnp.inf, jnp.float32)
-        .at[pix]
-        .min(z_flat, mode="drop")
+        .at[widx]
+        .set(z_s, mode="drop", unique_indices=True)
+    )
+    attr_img = (
+        jnp.zeros((n_pix,), jnp.uint32)
+        .at[widx]
+        .set(attr_s, mode="drop", unique_indices=True)
     )
     hit = jnp.isfinite(depth_min)
     depth = jnp.where(hit, depth_min, 0.0)
 
-    # attribute resolve: the splats that WON the z-buffer (within a
-    # 0.2 mm tie band) scatter their packed (r,g,b,prob) bytes with one
-    # int32 scatter-max — winner-take-nearest without the two extra
-    # packed scatter-min passes of the previous design
-    is_winner = pad_ok & (z_flat <= depth_min[pix] * (1.0 + 1e-4))
-
-    def attr8(a):
-        return jnp.clip(
-            jnp.where(pad_ok, a.reshape(-1)[srcc], 0.0), 0, 255
-        ).astype(jnp.int32)
-
-    # red keeps 7 bits so the packed key stays non-negative in int32
-    # (a 255<<24 key flips the sign bit and loses to 0 in scatter-max)
-    packed = (
-        ((attr8(rgb[..., 0]) >> 1) << 24)
-        | (attr8(rgb[..., 1]) << 16)
-        | (attr8(rgb[..., 2]) << 8)
-        | attr8(prob * 255.0)
-    )
-    won = (
-        jnp.zeros((n_pix,), jnp.int32)
-        .at[jnp.where(is_winner, pix, n_pix)]
-        .max(packed, mode="drop")
-    )
-    won = jnp.where(hit, won, 0)
-    red = (((won >> 24) & 0x7F) << 1).astype(jnp.float32)
-    green = ((won >> 16) & 0xFF).astype(jnp.float32)
-    blue = ((won >> 8) & 0xFF).astype(jnp.float32)
-    pr = (won & 0xFF).astype(jnp.float32) / 255.0
+    red = ((attr_img >> jnp.uint32(24)) & jnp.uint32(0xFF)).astype(jnp.float32)
+    green = ((attr_img >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32)
+    blue = ((attr_img >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32)
+    pr = (attr_img & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
 
     depth_img = depth.reshape(H, W)
     hit_img = hit.reshape(H, W)
@@ -249,7 +251,8 @@ def raycast(
         "rgba": rgba,
         "normal": normal * hitf,
         "hit": hit_img,
-        # splats beyond the compaction capacity (0 in healthy renders);
-        # nonzero means arbitrary pool-order holes — raise s_cap
-        "dropped_splats": n_dropped,
+        # shell blocks beyond max_shell_blocks (x512, conservative);
+        # 0 in healthy renders — nonzero means whole blocks went
+        # unrendered, raise max_shell_blocks
+        "dropped_splats": dropped,
     }
