@@ -147,7 +147,7 @@ def raycast(
 
     tsdf = tsdf_vis[vrow]  # [V2, 512]
     weight = w_vis[vrow]
-    rgb = m.rgb[selc]  # [V2, 512, 3]
+    rgb = m.rgb[selc]  # [V2, 3, 512] channel-major
     prob = m.prob[selc]
 
     # --- project voxel centers of shell blocks --------------------------
@@ -189,9 +189,9 @@ def raycast(
         return jnp.clip(a, 0, 255).astype(jnp.uint32)
 
     attr = (
-        (q8(rgb[..., 0]) << jnp.uint32(24))
-        | (q8(rgb[..., 1]) << jnp.uint32(16))
-        | (q8(rgb[..., 2]) << jnp.uint32(8))
+        (q8(rgb[:, 0, :]) << jnp.uint32(24))
+        | (q8(rgb[:, 1, :]) << jnp.uint32(16))
+        | (q8(rgb[:, 2, :]) << jnp.uint32(8))
         | q8(prob * 255.0)
     ).reshape(-1)
 

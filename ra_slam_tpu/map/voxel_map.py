@@ -61,7 +61,8 @@ class VoxelMap(NamedTuple):
     active: jax.Array  # [N] bool
     tsdf: jax.Array  # [N, 512] float32 in [-1, 1]
     weight: jax.Array  # [N, 512] float32
-    rgb: jax.Array  # [N, 512, 3] float32 in [0, 255]
+    rgb: jax.Array  # [N, 3, 512] float32 in [0, 255] (channel-major:
+    #   clean [*, 512]-lane layout for the TPU kernel and row gathers)
     prob: jax.Array  # [N, 512] float32 high-touch probability
     alloc_failures: jax.Array  # int32 scalar, cumulative
 
@@ -79,7 +80,7 @@ def create_map(cfg: TsdfConfig) -> VoxelMap:
         active=jnp.zeros((n,), dtype=bool),
         tsdf=jnp.full((n, BLOCK_VOLUME), -1.0, dtype=jnp.float32),
         weight=jnp.ones((n, BLOCK_VOLUME), dtype=jnp.float32),
-        rgb=jnp.zeros((n, BLOCK_VOLUME, 3), dtype=jnp.float32),
+        rgb=jnp.zeros((n, 3, BLOCK_VOLUME), dtype=jnp.float32),
         prob=jnp.full((n, BLOCK_VOLUME), 0.5, dtype=jnp.float32),
         alloc_failures=jnp.int32(0),
     )
@@ -278,23 +279,21 @@ def visible_blocks(
 # ---------------------------------------------------------------------------
 
 
-def integrate(
+def _integrate_prep(
     m: VoxelMap,
     vis_idx: jax.Array,
     vis_mask: jax.Array,
-    rgb_img: jax.Array,  # [H, W, 3] float32 0..255
-    depth_img: jax.Array,  # [H, W] float32 meters
-    ht_img: jax.Array,  # [H, W] float32 prob
-    lt_img: jax.Array,  # [H, W] float32 prob
+    rgb_img: jax.Array,
+    depth_img: jax.Array,
+    ht_img: jax.Array,
+    lt_img: jax.Array,
     cam: PinholeCamera,
     cam_T_world: SE3,
     cfg: TsdfConfig,
-) -> VoxelMap:
-    """Fuse one RGB-D(+semantics) frame into the visible blocks.
-
-    Gather-formulated like the reference `tsdf_integrate_kernel`
-    (`voxel_tsdf.cu:170-251`): every voxel of every visible block reads
-    its pixel; no write conflicts by construction.
+):
+    """Shared pre-pass of the integrate kernel: project the visible
+    voxels, build the mip-tile atlas, gather one tile per block, and
+    compute the per-voxel tile index + gating.
 
     TPU mechanics of the pixel read: a flat `img[vc, uc]` gather costs
     ~2 ns *per element* on this TPU — 8.4M voxels x 6 channels made it
@@ -304,16 +303,22 @@ def integrate(
     overlapping 24x24 tile that is guaranteed to contain it (tiles at
     stride 8: any 16-px window starting inside a stride-8 cell ends
     within that cell's 24-px tile), and resolve the per-voxel lookup
-    *inside* the tile with one-hot matmuls on the MXU (exact — one
-    nonzero per row). The tile fetch is a ROW gather of [NT, 24*24*6] —
-    the fastest batched fetch on this chip (43 ns/row measured);
-    arbitrary-offset `vmap(dynamic_slice)` patches cost ~1.5 us/slice
-    and were 25 ms/frame here.
+    *inside* the tile on the MXU (one-hot matmul, exact). The tile
+    fetch is a ROW gather of [NT, 6*TP^2] — the fastest batched fetch
+    on this chip; arbitrary-offset `vmap(dynamic_slice)` patches cost
+    ~1.5 us/slice and were 25 ms/frame here. (P=8/TP=16 rather than
+    P=16/TP=24: the Pallas resolve cost is linear in TP^2, and 2.2x
+    smaller tiles measured faster end-to-end; blocks spanning 9-16 px
+    read the next mip level, i.e. every other pixel — still >= their
+    8-voxel-per-axis density.)
+
+    Returns (patch [V,6,TP*TP], idx [V,512] i32, z_cam, d2r, gate
+    [V,512] f32).
     """
     H, W = depth_img.shape
-    P = 16  # max footprint span; mip level chosen so it fits
+    P = 8  # max footprint span; mip level chosen so it fits
     CELL = 8  # tile grid stride
-    TP = 24  # tile edge: CELL-aligned window of P=16 always fits
+    TP = 16  # tile edge: CELL-aligned window of P=8 always fits
     base_voxel = unpack_block_coords(m.block_key[vis_idx]) * BLOCK_LEN  # [V, 3]
     offs = voxel_offsets()  # [512, 3]
     grid = base_voxel[:, None, :] + offs[None]  # [V, 512, 3]
@@ -338,7 +343,8 @@ def integrate(
     # which matches their voxel-per-pixel density anyway. Each level is
     # cut into overlapping TPxTP tiles at stride CELL, built from pure
     # reshapes/transposes (no gather), all levels flattened into one
-    # [NT, TP, TP, 6] array fetched by row below.
+    # [NT, 6, TP*TP] channel-major array fetched by row below (the
+    # layout the Pallas kernel's [6, 576] x [512, 576] resolve wants).
     img6 = jnp.concatenate(
         [
             depth_img[..., None],
@@ -374,12 +380,13 @@ def integrate(
                 cols.append(sub.reshape(nty, CELL, ntx, CELL, 6))
             rows.append(jnp.concatenate(cols, axis=3))  # [nty,CELL,ntx,TP,6]
         tiles = jnp.concatenate(rows, axis=1)  # [nty, TP, ntx, TP, 6]
-        tiles = tiles.transpose(0, 2, 1, 3, 4).reshape(nty * ntx, TP, TP, 6)
+        # -> [NT, 6, TPy*TPx] (channel-major, dv*TP+du flattening)
+        tiles = tiles.transpose(0, 2, 4, 1, 3).reshape(nty * ntx, 6, TP * TP)
         tile_arrays.append(tiles)
         tile_off_l.append(n_tiles)
         ntx_l.append(ntx)
         n_tiles += nty * ntx
-    flat_tiles = jnp.concatenate(tile_arrays, axis=0)  # [NT, TP, TP, 6]
+    flat_tiles = jnp.concatenate(tile_arrays, axis=0)  # [NT, 6, 576]
     tile_off = jnp.array(tile_off_l, dtype=jnp.int32)
     ntx_of = jnp.array(ntx_l, dtype=jnp.int32)
     level_h = jnp.array(hs_l, dtype=jnp.int32)
@@ -404,28 +411,14 @@ def integrate(
     tx = u0 >> 3  # CELL = 8
     ty = v0 >> 3
     tid = tile_off[lvl] + ty * ntx_of[lvl] + tx
-    patch = flat_tiles[tid]  # [V, TP, TP, 6] — one row gather
+    patch = flat_tiles[tid]  # [V, 6, 576] — one row gather
 
     du = (uc >> lvl[:, None]) - (tx << 3)[:, None]  # [V, 512]
     dv = (vc >> lvl[:, None]) - (ty << 3)[:, None]
     in_patch = (du >= 0) & (du < TP) & (dv >= 0) & (dv < TP)
     du = jnp.clip(du, 0, TP - 1)
     dv = jnp.clip(dv, 0, TP - 1)
-
-    oh_v = jax.nn.one_hot(dv, TP, dtype=jnp.float32)  # [V, 512, TP]
-    oh_u = jax.nn.one_hot(du, TP, dtype=jnp.float32)
-    tmp = jnp.einsum(
-        "bvp,bpqc->bvqc", oh_v, patch, precision=jax.lax.Precision.HIGHEST
-    )
-    vals = jnp.einsum(
-        "bvq,bvqc->bvc", oh_u, tmp, precision=jax.lax.Precision.HIGHEST
-    )  # [V, 512, 6]
-
-    d = vals[..., 0]
-    rgb_new = vals[..., 1:4]
-    ht = vals[..., 4]
-    lt = vals[..., 5]
-    inb = inb & in_patch
+    idx = dv * TP + du  # [V, 512] flat tile-pixel index
 
     # depth-to-range scale: ||K^-1 (u, v, 1)|| (reference precomputes
     # img_depth_to_range, voxel_tsdf.cu:134-140). Use the mip-snapped
@@ -436,47 +429,145 @@ def integrate(
     yn = (vs.astype(jnp.float32) - cam.cy) / cam.fy
     d2r = jnp.sqrt(xn * xn + yn * yn + 1.0)
 
-    sdf = d2r * (d - z_cam)
-    update = (
-        vis_mask[:, None]
-        & inb
-        & (d > 1e-6)
-        & (d <= cfg.max_depth)
-        & (sdf > -cfg.truncation)
+    gate = (vis_mask[:, None] & inb & in_patch).astype(jnp.float32)
+    return patch, idx, z_cam, d2r, gate
+
+
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("RA_SLAM_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def integrate(
+    m: VoxelMap,
+    vis_idx: jax.Array,
+    vis_mask: jax.Array,
+    rgb_img: jax.Array,  # [H, W, 3] float32 0..255
+    depth_img: jax.Array,  # [H, W] float32 meters
+    ht_img: jax.Array,  # [H, W] float32 prob
+    lt_img: jax.Array,  # [H, W] float32 prob
+    cam: PinholeCamera,
+    cam_T_world: SE3,
+    cfg: TsdfConfig,
+    carve: bool = False,
+) -> VoxelMap:
+    """Fuse one RGB-D(+semantics) frame into the visible blocks.
+
+    Gather-formulated like the reference `tsdf_integrate_kernel`
+    (`voxel_tsdf.cu:170-251`): every voxel of every visible block reads
+    its pixel; no write conflicts by construction. On TPU the resolve +
+    fusion runs as one Pallas kernel (`ops/tsdf_pallas.py`) that also
+    emits the space-carving min-reduction; off-TPU an equivalent
+    two-step one-hot einsum formulation is used (the two paths are
+    equality-tested).
+
+    With `carve=True` the space-carving release (reference
+    `space_carving_kernel` + hash `Delete`, `voxel_tsdf.cu:253-276`) is
+    fused into the same payload scatter: released rows are written with
+    their acquire-time init values instead of the fused update, so
+    carving costs one cheap metadata pass instead of a second full
+    gather + scatter over the visible set.
+    """
+    patch, idx, z_cam, d2r, gate = _integrate_prep(
+        m, vis_idx, vis_mask, rgb_img, depth_img, ht_img, lt_img,
+        cam, cam_T_world, cfg,
     )
-
-    tsdf_obs = jnp.minimum(1.0, sdf / cfg.truncation)
-    w_new = (1.0 - d / cfg.max_depth) * 4.0
-
     t_old = m.tsdf[vis_idx]
     w_old = m.weight[vis_idx]
-    rgb_old = m.rgb[vis_idx]
+    rgb_old = m.rgb[vis_idx]  # [V, 3, 512] channel-major
     p_old = m.prob[vis_idx]
 
-    w_comb = w_old + w_new
-    inv_w = 1.0 / jnp.maximum(w_comb, 1e-9)
-    t_new = (t_old * w_old + tsdf_obs * w_new) * inv_w
-    c_new = (rgb_old * w_old[..., None] + rgb_new * w_new[..., None]) * inv_w[..., None]
-    w_upd = jnp.minimum(w_comb, cfg.max_weight)
+    if _use_pallas():
+        from ra_slam_tpu.ops.tsdf_pallas import tsdf_fuse_pallas
 
-    # Bayesian semantic fusion in log-odds space (equivalent to the
-    # reference's weighted geometric mean of pos/neg evidence,
-    # voxel_tsdf.cu:241-248, but without exp/log cancellation issues).
-    p_c = jnp.clip(p_old, 1e-6, 1.0 - 1e-6)
-    ht_c = jnp.clip(ht, 1e-6, 1.0)
-    lt_c = jnp.clip(lt, 1e-6, 1.0)
-    lo_old = jnp.log(p_c) - jnp.log1p(-p_c)
-    lo_obs = jnp.log(ht_c) - jnp.log(lt_c)
-    lo_new = (lo_old * w_old + lo_obs * w_new) * inv_w
-    p_new = jax.nn.sigmoid(lo_new)
+        t_out, w_out, p_out, c_out, minabs = tsdf_fuse_pallas(
+            patch, idx, z_cam, d2r, gate,
+            t_old, w_old, p_old, rgb_old,
+            truncation=cfg.truncation,
+            max_depth=cfg.max_depth,
+            max_weight=cfg.max_weight,
+        )
+    else:
+        TP = 16
+        V = idx.shape[0]
+        patch_im = patch.reshape(V, 6, TP, TP).transpose(0, 2, 3, 1)
+        dv, du = idx // TP, idx % TP
+        oh_v = jax.nn.one_hot(dv, TP, dtype=jnp.float32)  # [V, 512, TP]
+        oh_u = jax.nn.one_hot(du, TP, dtype=jnp.float32)
+        tmp = jnp.einsum(
+            "bvp,bpqc->bvqc", oh_v, patch_im,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        vals = jnp.einsum(
+            "bvq,bvqc->bvc", oh_u, tmp,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [V, 512, 6]
 
-    t_out = jnp.where(update, t_new, t_old)
-    w_out = jnp.where(update, w_upd, w_old)
-    c_out = jnp.where(update[..., None], c_new, rgb_old)
-    p_out = jnp.where(update, p_new, p_old)
+        d = vals[..., 0]
+        rgb_new = vals[..., 1:4].transpose(0, 2, 1)  # [V, 3, 512]
+        ht = vals[..., 4]
+        lt = vals[..., 5]
+
+        sdf = d2r * (d - z_cam)
+        update = (
+            (gate > 0)
+            & (d > 1e-6)
+            & (d <= cfg.max_depth)
+            & (sdf > -cfg.truncation)
+        )
+        tsdf_obs = jnp.minimum(1.0, sdf / cfg.truncation)
+        w_new = (1.0 - d / cfg.max_depth) * 4.0
+
+        w_comb = w_old + w_new
+        inv_w = 1.0 / jnp.maximum(w_comb, 1e-9)
+        t_new = (t_old * w_old + tsdf_obs * w_new) * inv_w
+        c_new = (rgb_old * w_old[:, None, :] + rgb_new * w_new[:, None, :]) * inv_w[:, None, :]
+        w_upd = jnp.minimum(w_comb, cfg.max_weight)
+
+        # Bayesian semantic fusion in log-odds space (equivalent to the
+        # reference's weighted geometric mean of pos/neg evidence,
+        # voxel_tsdf.cu:241-248, but without exp/log cancellation issues).
+        p_c = jnp.clip(p_old, 1e-6, 1.0 - 1e-6)
+        ht_c = jnp.clip(ht, 1e-6, 1.0)
+        lt_c = jnp.clip(lt, 1e-6, 1.0)
+        lo_old = jnp.log(p_c) - jnp.log1p(-p_c)
+        lo_obs = jnp.log(ht_c) - jnp.log(lt_c)
+        lo_new = (lo_old * w_old + lo_obs * w_new) * inv_w
+        p_new = jax.nn.sigmoid(lo_new)
+
+        t_out = jnp.where(update, t_new, t_old)
+        w_out = jnp.where(update, w_upd, w_old)
+        c_out = jnp.where(update[:, None, :], c_new, rgb_old)
+        p_out = jnp.where(update, p_new, p_old)
+        minabs = jnp.min(jnp.abs(t_out), axis=-1)
+
+    table = m.table
+    block_key = m.block_key
+    block_slot = m.block_slot
+    active = m.active
+    if carve:
+        release = vis_mask & (minabs >= cfg.carve_threshold)
+        # released rows get their acquire-time init values in the SAME
+        # scatter below (voxel_mem.cu:45-52 init: tsdf=-1, w=1, p=0.5)
+        t_out = jnp.where(release[:, None], -1.0, t_out)
+        w_out = jnp.where(release[:, None], 1.0, w_out)
+        c_out = jnp.where(release[:, None, None], 0.0, c_out)
+        p_out = jnp.where(release[:, None], 0.5, p_out)
+        table = ht_remove(table, m.block_slot[vis_idx], release)
+        rel_rows = jnp.where(release, vis_idx, m.num_blocks)
+        block_key = block_key.at[rel_rows].set(INVALID_KEY, mode="drop")
+        block_slot = block_slot.at[rel_rows].set(-1, mode="drop")
+        active = active.at[rel_rows].set(False, mode="drop")
 
     rows = jnp.where(vis_mask, vis_idx, m.num_blocks)
     return m._replace(
+        table=table,
+        block_key=block_key,
+        block_slot=block_slot,
+        active=active,
         tsdf=m.tsdf.at[rows].set(t_out, mode="drop"),
         weight=m.weight.at[rows].set(w_out, mode="drop"),
         rgb=m.rgb.at[rows].set(c_out, mode="drop"),
@@ -552,9 +643,10 @@ def integrate_frame(
     """
     m = allocate_from_depth(m, depth_img, cam, cam_T_world, cfg, alloc_stride)
     vis_idx, vis_mask, vis_count = visible_blocks(m, cam, cam_T_world, cfg)
-    m = integrate(m, vis_idx, vis_mask, rgb_img, depth_img, ht_img, lt_img, cam, cam_T_world, cfg)
-    if carve:
-        m = space_carve(m, vis_idx, vis_mask, cfg)
+    m = integrate(
+        m, vis_idx, vis_mask, rgb_img, depth_img, ht_img, lt_img,
+        cam, cam_T_world, cfg, carve=carve,
+    )
     stats = {
         "num_active": num_active(m),
         "num_visible": vis_count,
