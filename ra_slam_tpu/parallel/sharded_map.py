@@ -155,10 +155,8 @@ def _sharded_integrate_frame(
     vis_idx, vis_mask, vis_count = visible_blocks(m, cam, cam_T_world, lcfg)
     m = integrate(
         m, vis_idx, vis_mask, rgb_img, depth_img, ht_img, lt_img, cam,
-        cam_T_world, lcfg,
+        cam_T_world, lcfg, carve=carve,
     )
-    if carve:
-        m = space_carve(m, vis_idx, vis_mask, lcfg)
 
     stats = {
         "num_active": jax.lax.psum(num_active(m), MAP_AXIS),
@@ -416,7 +414,12 @@ def extract_mesh_sharded(
 
     One halo `ppermute` (ICI), then each shard triangulates ONLY its own
     active blocks — slabs are disjoint, so concatenating the per-shard
-    meshes is exactly the global mesh. Returns
+    meshes is exactly the global mesh. The per-shard maps are DEVICE
+    slices of the augmented sharded pool (each the size of one shard's
+    local+halo pool): the host only ever receives per-shard compacted
+    meshes, never the global map (round-3 used a `device_get` of the
+    whole augmented pool here — O(global) host memory that a multi-host
+    job could not even address). Returns
     (vertices [V,3], indices [T,3], probs [V], stats dict)."""
     import numpy as np
 
@@ -426,19 +429,18 @@ def extract_mesh_sharded(
     m_aug, dropped = augment(m)
 
     n = mesh.shape[MAP_AXIS]
-    host = jax.device_get(m_aug)
 
     def shard_slice(leaf, i):
         if leaf.ndim == 0:
             return leaf
         loc = leaf.shape[0] // n
-        return leaf[i * loc : (i + 1) * loc]
+        return jax.lax.slice_in_dim(leaf, i * loc, (i + 1) * loc, axis=0)
 
     verts_all, idx_all, probs_all = [], [], []
     peak_blocks = 0
     v_off = 0
     for i in range(n):
-        local = jax.tree.map(lambda a: jnp.asarray(shard_slice(a, i)), host)
+        local = jax.tree.map(lambda a: shard_slice(a, i), m_aug)
         local = local._replace(alloc_failures=jnp.int32(0))
         peak_blocks = max(peak_blocks, int(jnp.sum(
             (local.block_key != INVALID_KEY)

@@ -135,6 +135,35 @@ def test_sharded_gather_export_mesh_raycast():
     )
 
 
+def test_sharded_matches_single_device_smoke():
+    """Fast-tier smoke of the sharded map path (advisor r3: the full
+    parametrized equality test is slow-tier only, which left the fast
+    tier with zero sharded coverage): 2 devices, one tiny frame, exact
+    num_active + semantic-dump equality vs the single-device step."""
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.array(devs), ("map",))
+    cfg = TsdfConfig(
+        voxel_size=0.1, truncation=0.5, max_depth=6.0,
+        log2_num_blocks=10, log2_hash_size=12, max_visible_blocks=512,
+        max_new_blocks=512,
+    )
+    cam, rgb, depth, ht, lt = _frame(H=24, W=32)
+    pose = SE3.identity()
+
+    ms = create_sharded_map(cfg, mesh)
+    step = make_sharded_integrate_step(mesh, cfg)
+    m1 = vm.create_map(cfg)
+    step1 = jax.jit(functools.partial(vm.integrate_frame, cfg=cfg))
+    ms, stats_s = step(ms, rgb, depth, ht, lt, cam, pose)
+    m1, stats_1 = step1(m1, rgb, depth, ht, lt, cam, pose)
+
+    assert int(stats_s["num_active"]) == int(stats_1["num_active"]) > 0
+    assert int(stats_s["alloc_failures"]) == 0
+    a = _canon(vm.gather_valid_semantic(jax.device_get(ms), cfg))
+    b = _canon(vm.gather_valid_semantic(m1, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_owner_partition_is_balanced():
     keys = jnp.arange(1, 100001, dtype=jnp.int32)
     owners = np.asarray(owner_of(keys, 8))
