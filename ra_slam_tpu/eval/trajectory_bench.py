@@ -41,6 +41,7 @@ def run_trajectory_eval(
     trajectory_out: Optional[str] = None,
     seed: int = 0,
     progress: bool = False,
+    **slam_kw,
 ) -> dict:
     """Track the replay sequence with the full SLAM stack; return metrics.
 
@@ -72,6 +73,7 @@ def run_trajectory_eval(
         ba_window=6, ba_max_points=2048, ba_iterations=5,
         loop_every_kf=1, loop_min_inliers=20,
         loop_min_gap=15 if loop_closure else 10**6,
+        **slam_kw,
     )
 
     gt = []

@@ -95,6 +95,7 @@ class StepParams:
     ba_iterations: int = 6
     ba_every_kf: int = 1
     ba_fixed: int = 4  # fixed-observer keyframes prepended to the window
+    ba_pose_prior: float = 2e3  # absolute prior toward the pre-BA poses
     loop_every_kf: int = 5
     loop_min_gap: int = 30
     loop_min_score: float = 0.05
@@ -278,6 +279,7 @@ def _ba_step(state: SlamState, cam, p: StepParams):
         state.kfs, lms=state.track.lms, kf_counter=state.track.kf_counter,
         cam=cam, window=p.ba_window, max_points=p.ba_max_points,
         iterations=p.ba_iterations, n_fixed=p.ba_fixed,
+        pose_prior=p.ba_pose_prior,
     )
     state = _propagate_kf_correction(state, old_kf, kfs, lms)
     # how far BA moved the freshly-inserted keyframe (observability:
@@ -611,6 +613,7 @@ class SlamSystem:
         # is maintained, tested, and has a distributed variant).
         ba_every_kf: int = 0,
         ba_fixed: int = 4,
+        ba_pose_prior: float = 2e3,
         loop_every_kf: int = 5,
         loop_min_gap: int = 30,
         loop_min_score: float = 0.05,
@@ -638,7 +641,7 @@ class SlamSystem:
         params = StepParams(
             ba_window=ba_window, ba_max_points=ba_max_points,
             ba_iterations=ba_iterations, ba_every_kf=ba_every_kf,
-            ba_fixed=ba_fixed,
+            ba_fixed=ba_fixed, ba_pose_prior=ba_pose_prior,
             loop_every_kf=loop_every_kf, loop_min_gap=loop_min_gap,
             loop_min_score=loop_min_score,
             loop_min_inliers=loop_min_inliers,

@@ -111,16 +111,22 @@ def _gated_match(
     gate = proj_ok[None, :] & (d2 <= float(radius) ** 2)
     dist = jnp.where(gate, dist, jnp.inf)
 
-    neg = -dist
-    top2, idx2 = jax.lax.top_k(neg, 2)
-    best, second = -top2[:, 0], -top2[:, 1]
+    # best + second-best via two min/argmin passes: lax.top_k over
+    # [F, 20000] measured 19 ms/call on this chip (it lowers near a full
+    # row sort) vs ~1 ms for three reduction passes
+    best = jnp.min(dist, axis=1)
+    bidx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    second = jnp.min(
+        jnp.where(col == bidx[:, None], jnp.inf, dist), axis=1
+    )
     ok = (
         kp.valid
         & jnp.isfinite(best)
         & (best <= tcfg.match_hamming_max)
         & (best < tcfg.match_ratio * jnp.minimum(second, float(NUM_PAIRS)))
     )
-    return jnp.where(ok, idx2[:, 0], -1).astype(jnp.int32), ok
+    return jnp.where(ok, bidx, -1).astype(jnp.int32), ok
 
 
 def match_frame_to_map(
