@@ -600,17 +600,31 @@ class SlamSystem:
         ba_window: int = 8,
         ba_max_points: int = 4096,
         ba_iterations: int = 6,
-        # Windowed local BA is OFF by default: the per-frame motion-only
-        # GN already carries an RGB-D depth residual on every matched
-        # landmark, which anchors scale and translation each frame to
-        # ~mm — measured on the orbit benchmark the per-keyframe window
-        # BA merely re-fit that odometry with extra feedback coupling
-        # (2x the drift at half orbit, 0.044 vs 0.021 m, and it tipped
-        # a repeating-texture aliasing flip). Loop closures + pose-graph
-        # + the post-loop GLOBAL BA sweeps (gba_after_loop) do the
-        # map-level refinement instead — ATE 0.019 m vs 0.13 with
-        # per-keyframe BA. Set ba_every_kf=1 to re-enable (the solver
-        # is maintained, tested, and has a distributed variant).
+        # Windowed local BA is OFF by default — a deliberate, measured
+        # re-scope (round-4 investigation). The solver itself is exact:
+        # on a ground-truth-perfect window it is a bit-level no-op
+        # (pose shifts 0.0, landmark shifts < 5e-7 m), and on real
+        # windows it converges to 0.8-1.1 px every call. The damage is
+        # in the DATA it refits: keyframe observations record the
+        # accumulated drift + viewpoint-dependent association errors of
+        # their insertion time, and re-fitting the window to them at
+        # every keyframe moves the live landmark sheet under the
+        # tracker (onset measured at oblique-wall viewpoints: 2.3 cm
+        # keyframe shifts at converged 1.0 px rmse, the next frame
+        # jumping 4 cm and tripping the acceptance gates). Nine
+        # mitigation experiments all failed to make it non-harmful:
+        # absolute pose priors at 2e3/1e4/1e5 (worse with strength),
+        # landmark trust regions 10/3 mm, entry chi2 pre-gates 36/16,
+        # system-level step rejection at 10/5 mm, depth rows disabled,
+        # and tracker-sheet age alignment — ATE 0.07-0.61 m vs 0.018 m
+        # with BA off, with dozens of lost frames in every variant.
+        # The per-frame depth-anchored motion-only GN already pins each
+        # pose to ~mm, so window re-optimization has no headroom here;
+        # map-level refinement is done where it has information to add:
+        # loop closures -> pose graph -> post-loop GLOBAL BA sweeps
+        # (gba_after_loop), and the offline `refine_map` API (which is
+        # also the distributed-BA call site). Set ba_every_kf=1 to
+        # re-enable the per-keyframe window solver (maintained, tested).
         ba_every_kf: int = 0,
         ba_fixed: int = 4,
         ba_pose_prior: float = 2e3,
@@ -767,6 +781,68 @@ class SlamSystem:
         """Interpolated cam_T_world for a mapper timestamp (the facade's
         `query_camera_pose`, `/root/reference/disinfect_slam/disinfect_slam.cc`)."""
         return self.pose_buffer.query(timestamp)
+
+    def refine_map(
+        self,
+        mesh=None,
+        window: int = 16,
+        iterations: int = 6,
+        sweeps: int = 2,
+    ) -> dict:
+        """Offline map-wide structure+pose refinement over the whole
+        keyframe database — the role of OpenVSLAM's full-map global BA
+        after tracking ends (SURVEY.md §2.8), and the production call
+        site of the DISTRIBUTED Schur solver: with a `jax.sharding.Mesh`
+        the landmark elimination (the [L, W, 6, 3] coupling tensor, the
+        dominant term) shards across devices and the reduced camera
+        systems are psum-combined over ICI (`parallel/dist_ba.py`).
+
+        Runs overlapping sliding-window sweeps like the post-loop global
+        BA. Returns {"rmse_before", "rmse_after", "windows"}.
+        """
+        import jax.numpy as jnp
+
+        from ra_slam_tpu.slam.ba import (
+            gather_window,
+            scatter_window,
+            solve_window,
+        )
+
+        kfc = int(self.state.track.kf_counter)
+        kfs, lms = self.state.kfs, self.state.track.lms
+        stride = max(window // 2, 1)
+        starts = list(range(0, max(kfc - window, 0) + 1, stride)) or [0]
+        if mesh is not None:
+            from ra_slam_tpu.parallel.dist_ba import solve_window_distributed
+
+            solve = functools.partial(
+                solve_window_distributed, cam=self.cam, mesh=mesh,
+                axis=list(mesh.shape.keys())[0], iterations=iterations,
+            )
+        else:
+            solve = functools.partial(
+                solve_window, cam=self.cam, iterations=iterations
+            )
+        r0s, r1s = [], []
+        for _ in range(sweeps):
+            for start in starts:
+                win = gather_window(
+                    kfs, lms, jnp.int32(kfc), window,
+                    self.params.ba_max_points, start=jnp.int32(start),
+                )
+                poses, points, st = solve(win)
+                kfs, lms = scatter_window(kfs, lms, win, poses, points)
+                r0s.append(float(st.rmse_before))
+                r1s.append(float(st.rmse_after))
+        old_kf = _newest_kf(self.state)
+        self.state = _propagate_kf_correction(
+            self.state._replace(kfs=kfs), old_kf, kfs, lms
+        )
+        return {
+            "rmse_before": float(np.mean(r0s)),
+            "rmse_after": float(np.mean(r1s)),
+            "windows": len(r0s),
+        }
 
     def trajectory(self) -> list[Tuple[int, np.ndarray]]:
         """(frame_id, 3x4 cam_T_world) rows for **every tracked frame**,

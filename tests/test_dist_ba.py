@@ -65,3 +65,49 @@ def test_distributed_ba_recovers_gt():
         assert float(jnp.linalg.norm(xi[3:])) < 0.01, f"kf {k}"
     err = np.linalg.norm(np.asarray(lms_d.pos[:num_pts]) - pts_gt, axis=-1)
     assert np.median(err) < 0.01
+
+
+def test_refine_map_call_site():
+    """`SlamSystem.refine_map` is the production call site of the
+    distributed Schur solver: run a short tracked sequence, refine the
+    whole map over a 2-device mesh, and require (a) finite converged
+    residuals and (b) an end-state the tracker still agrees with (the
+    refined keyframe poses stay within mm of the tracked ones on this
+    clean sequence)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import jax
+    import jax.numpy as jnp
+    from ra_slam_tpu.core.config import FeatureConfig, TrackingConfig
+    from ra_slam_tpu.core.se3 import SE3
+    from ra_slam_tpu.io.synthetic import SyntheticBoxDataset, SyntheticCameraSpec
+    from ra_slam_tpu.slam.system import SlamSystem
+
+    spec = SyntheticCameraSpec(
+        fx=80.0, fy=80.0, cx=79.5, cy=59.5, width=160, height=120
+    )
+    ds = SyntheticBoxDataset(num_frames=120, cam=spec, radius=1.0, seed=0)
+    slam = SlamSystem(
+        ds.camera,
+        fcfg=FeatureConfig(max_num_keypoints=300, num_levels=3),
+        tcfg=TrackingConfig(min_inliers=12, match_radius=30.0),
+        ba_window=4, ba_max_points=1024, ba_iterations=3,
+    )
+    for i in range(10):
+        fr = ds.frame(i)
+        hint = SE3.from_matrix(jnp.asarray(fr.cam_T_world)) if i == 0 else None
+        info = slam.feed_rgbd_frame(
+            fr.rgb, fr.depth, fr.timestamp, frame_id=i, pose_hint=hint
+        )
+        assert info.tracked
+    kfc = int(slam.state.track.kf_counter)
+    assert kfc >= 2
+    t_before = np.asarray(slam.state.kfs.t[:kfc])
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("ba",))
+    out = slam.refine_map(mesh=mesh, window=4, iterations=3, sweeps=1)
+    assert np.isfinite(out["rmse_after"]) and out["windows"] >= 1
+    assert out["rmse_after"] <= out["rmse_before"] + 0.5
+    t_after = np.asarray(slam.state.kfs.t[:kfc])
+    assert float(np.abs(t_after - t_before).max()) < 0.02
