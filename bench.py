@@ -112,7 +112,13 @@ def bench_tracking(ds, n_frames):
     return (n_frames - 3) / dt
 
 
-def bench_raycast(m, cam, pose, cfg, iters=15):
+def bench_raycast(m, cam, pose, cfg, iters=60):
+    """60 chained renders, one end sync — the same shape as the fusion
+    loop. (The axon tunnel stalls ~0.8 s on the first dispatch after any
+    blocking readback — measured T(15)=0.85 s vs T(40)=0.94 s, i.e.
+    ~3.7 ms/frame marginal — so short loops measure the rig, not the
+    renderer; 60 iterations amortizes it the same way the other metrics
+    do.)"""
     from ra_slam_tpu.map.raycast import raycast
 
     rc = jax.jit(functools.partial(raycast, cam=cam, cfg=cfg))

@@ -69,7 +69,12 @@ def run_trajectory_eval(
     slam = SlamSystem(
         ds.camera,
         fcfg=FeatureConfig(max_num_keypoints=600, num_levels=4),
-        tcfg=TrackingConfig(min_inliers=15, match_radius=30.0),
+        # the projective search radius is an ANGULAR window: scale it
+        # with horizontal resolution (30 px at 320 wide) so VGA and QVGA
+        # runs gate the same field-of-view cone
+        tcfg=TrackingConfig(
+            min_inliers=15, match_radius=30.0 * (width / 320.0)
+        ),
         ba_window=6, ba_max_points=2048, ba_iterations=5,
         loop_every_kf=1, loop_min_inliers=20,
         loop_min_gap=15 if loop_closure else 10**6,

@@ -188,10 +188,13 @@ def raycast(
     def q8(a):
         return jnp.clip(a, 0, 255).astype(jnp.uint32)
 
+    # channel packing as a weighted sublane reduction over the
+    # channel-major [V2, 3, 512] rgb rows (mid-axis lane slices like
+    # rgb[:, 0, :] relayout per channel — measured 2.4x whole-render
+    # cost after the rgb layout change)
+    mult = jnp.asarray([1 << 24, 1 << 16, 1 << 8], jnp.uint32)[None, :, None]
     attr = (
-        (q8(rgb[:, 0, :]) << jnp.uint32(24))
-        | (q8(rgb[:, 1, :]) << jnp.uint32(16))
-        | (q8(rgb[:, 2, :]) << jnp.uint32(8))
+        jnp.sum(q8(rgb) * mult, axis=1, dtype=jnp.uint32)
         | q8(prob * 255.0)
     ).reshape(-1)
 

@@ -63,3 +63,61 @@ def test_hamming_pallas_compiled_on_tpu():
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "OK" in r.stdout
+
+
+_TSDF_TEST = """
+import functools, os
+import numpy as np, jax, jax.numpy as jnp
+assert jax.default_backend() == "tpu", jax.default_backend()
+from ra_slam_tpu.core.config import TsdfConfig
+from ra_slam_tpu.core.se3 import SE3
+from ra_slam_tpu.io.synthetic import SyntheticBoxDataset, SyntheticCameraSpec
+from ra_slam_tpu.map.voxel_map import (
+    create_map, integrate_frame, integrate, visible_blocks, num_active)
+
+spec = SyntheticCameraSpec(fx=80.0, fy=80.0, cx=79.5, cy=59.5, width=160, height=120)
+ds = SyntheticBoxDataset(num_frames=12, cam=spec, radius=1.0, depth_noise=0.0, seed=0)
+cfg = TsdfConfig(voxel_size=0.04, truncation=0.16, max_depth=6.0,
+                 log2_num_blocks=12, log2_hash_size=14,
+                 max_visible_blocks=2048, max_new_blocks=4096, width=160, height=120)
+cam = ds.camera
+step = jax.jit(functools.partial(integrate_frame, cfg=cfg), donate_argnums=(0,))
+m = create_map(cfg)
+for i in range(0, 12, 2):
+    f = ds.frame(i)
+    m, st = step(m, jnp.asarray(f.rgb, jnp.float32), jnp.asarray(f.depth),
+                 jnp.asarray(f.ht), jnp.asarray(f.lt), cam,
+                 SE3.from_matrix(jnp.asarray(f.cam_T_world)))
+assert int(num_active(m)) > 500 and int(m.alloc_failures) == 0
+
+f = ds.frame(1)
+pose = SE3.from_matrix(jnp.asarray(f.cam_T_world))
+args = (jnp.asarray(f.rgb, jnp.float32), jnp.asarray(f.depth),
+        jnp.asarray(f.ht), jnp.asarray(f.lt))
+vis = visible_blocks(m, cam, pose, cfg)
+m_pallas = jax.jit(functools.partial(integrate, cfg=cfg, carve=True))(m, vis[0], vis[1], *args, cam, pose)
+os.environ["RA_SLAM_NO_PALLAS"] = "1"
+m_jnp = jax.jit(functools.partial(integrate, cfg=cfg, carve=True))(m, vis[0], vis[1], *args, cam, pose)
+for name in ("tsdf", "weight", "prob", "rgb"):
+    a, b = np.asarray(getattr(m_pallas, name)), np.asarray(getattr(m_jnp, name))
+    assert np.max(np.abs(a - b)) < 2e-5, (name, np.max(np.abs(a - b)))
+for name in ("block_key", "active"):
+    a, b = np.asarray(getattr(m_pallas, name)), np.asarray(getattr(m_jnp, name))
+    assert (a == b).all(), name
+print("OK")
+"""
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_tsdf_pallas_matches_einsum_on_tpu():
+    """The compiled Pallas TSDF integrate+carve kernel must equal the
+    XLA einsum path on the same fused map (ops/tsdf_pallas.py)."""
+    if not _tpu_available():
+        pytest.skip("no TPU backend reachable")
+    r = subprocess.run(
+        [sys.executable, "-c", _TSDF_TEST], env=_clean_env(), timeout=420,
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "OK" in r.stdout
