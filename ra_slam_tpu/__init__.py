@@ -39,9 +39,19 @@ def _enable_compilation_cache() -> None:
 
     First-compile latency dominates short runs; the on-disk cache makes
     later processes start warm on CPU/standard-TPU backends. Opt-in
-    because the remote-tunnel ("axon") TPU backend hangs serializing
-    large executables into the cache (measured: the fusion step
-    compiles in ~21 s without the cache and stalls >6 min with it).
+    because it is demonstrably useless on the remote-tunnel ("axon")
+    TPU backend this rig exposes: compilation happens on the remote
+    service (PALLAS_AXON_REMOTE_COMPILE) and the local persistent cache
+    is never consulted — measured round 4: a 25M-element sort compiled
+    in 279 s, wrote a cache entry, and a second process recompiled the
+    identical program in 309 s with the cache file present. (Round 3
+    additionally measured multi-minute stalls serializing large
+    executables.) Compile latency on that backend also scales with
+    array size (the same sort at 1M compiles in seconds) and varies
+    ~5x run-to-run with service load (the fused frame step measured
+    73-490 s across one day), so cold-start numbers there describe the
+    rig, not this framework; on a standard TPU runtime set
+    RA_SLAM_CACHE=1 and second processes start warm.
     """
     import os
 

@@ -69,15 +69,20 @@ def run_trajectory_eval(
     slam = SlamSystem(
         ds.camera,
         fcfg=FeatureConfig(max_num_keypoints=600, num_levels=4),
-        # the projective search radius is an ANGULAR window: scale it
-        # with horizontal resolution (30 px at 320 wide) so VGA and QVGA
-        # runs gate the same field-of-view cone
+        # pixel thresholds (search radii, rmse acceptance gates) are
+        # ANGULAR quantities: scale them with horizontal resolution
+        # (values calibrated at 320 wide) so QVGA and VGA runs gate the
+        # same field-of-view cone instead of silently tightening 2x
         tcfg=TrackingConfig(
-            min_inliers=15, match_radius=30.0 * (width / 320.0)
+            min_inliers=15,
+            match_radius=30.0 * (width / 320.0),
+            max_track_rmse=3.0 * (width / 320.0),
         ),
         ba_window=6, ba_max_points=2048, ba_iterations=5,
         loop_every_kf=1, loop_min_inliers=20,
         loop_min_gap=15 if loop_closure else 10**6,
+        loop_max_rmse=3.0 * (width / 320.0),
+        reloc_max_rmse=3.0 * (width / 320.0),
         **slam_kw,
     )
 

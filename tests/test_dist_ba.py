@@ -67,6 +67,7 @@ def test_distributed_ba_recovers_gt():
     assert np.median(err) < 0.01
 
 
+@pytest.mark.slow
 def test_refine_map_call_site():
     """`SlamSystem.refine_map` is the production call site of the
     distributed Schur solver: run a short tracked sequence, refine the
