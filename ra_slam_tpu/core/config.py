@@ -159,6 +159,24 @@ class TrackingConfig:
     track_max_age: int = 8
 
 
+    def scaled(self, width_scale: float) -> "TrackingConfig":
+        """Pixel thresholds are ANGULAR quantities calibrated at a
+        320-wide image; scale them for another resolution so gates cover
+        the same field-of-view cone (a VGA run with QVGA gates silently
+        tightens every window 2x — measured: the offline_eval synthetic
+        orbit tracked 8/40 frames at VGA with unscaled defaults)."""
+        import dataclasses as _dc
+
+        return _dc.replace(
+            self,
+            match_radius=self.match_radius * width_scale,
+            rematch_radius=self.rematch_radius * width_scale,
+            max_track_rmse=self.max_track_rmse * width_scale,
+            fuse_radius=self.fuse_radius * width_scale,
+            spawn_suppress_radius=self.spawn_suppress_radius * width_scale,
+        )
+
+
 @dataclass(frozen=True)
 class BAConfig:
     window_size: int = 8

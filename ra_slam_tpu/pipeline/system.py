@@ -89,12 +89,24 @@ class RaSlamSystem:
 
         self.slam: Optional[SlamSystem] = None
         if enable_tracking:
+            from ra_slam_tpu.core.config import TrackingConfig
+
             track_cam = PinholeCamera.create(
                 cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
                 cfg.camera.width, cfg.camera.height,
             )
+            # untouched default gates are calibrated at 320-wide images;
+            # scale them (and the loop/reloc rmse gates) to this camera
+            # as angular windows. Explicit user configs pass unscaled.
+            tcfg = cfg.tracking
+            scale = 1.0
+            if tcfg == TrackingConfig():
+                scale = cfg.camera.width / 320.0
+                tcfg = tcfg.scaled(scale)
             self.slam = SlamSystem(
-                track_cam, fcfg=cfg.feature, tcfg=cfg.tracking,
+                track_cam, fcfg=cfg.feature, tcfg=tcfg,
+                loop_max_rmse=3.0 * scale,
+                reloc_max_rmse=3.0 * scale,
                 focal_x_baseline=cfg.camera.focal_x_baseline,
             )
 
