@@ -29,7 +29,11 @@ def _sync(x):
     """Honest device sync: `jax.block_until_ready` is a NO-OP on the
     remote-tunnel TPU backend (measured: a 13.7-TFLOP program "blocked"
     in 0.0 ms while device_get then waited 2.5 s), so every timing here
-    syncs by transferring one dependent scalar instead."""
+    syncs by transferring one dependent scalar instead.
+
+    TODO(backend): when the axon backend implements block_until_ready,
+    switch back to it here and in slam/system.py::FrameInfo.block —
+    the scalar transfer costs one tunnel round-trip per sync."""
     return jax.device_get(x)
 
 

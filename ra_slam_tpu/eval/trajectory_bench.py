@@ -73,10 +73,8 @@ def run_trajectory_eval(
         # ANGULAR quantities: scale them with horizontal resolution
         # (values calibrated at 320 wide) so QVGA and VGA runs gate the
         # same field-of-view cone instead of silently tightening 2x
-        tcfg=TrackingConfig(
-            min_inliers=15,
-            match_radius=30.0 * (width / 320.0),
-            max_track_rmse=3.0 * (width / 320.0),
+        tcfg=TrackingConfig(min_inliers=15, match_radius=30.0).scaled(
+            width / 320.0
         ),
         ba_window=6, ba_max_points=2048, ba_iterations=5,
         loop_every_kf=1, loop_min_inliers=20,

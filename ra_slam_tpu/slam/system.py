@@ -231,6 +231,8 @@ class FrameInfo:
         # without waiting for the computation (measured: a 13.7-TFLOP
         # program "blocked" in 0.0 ms, then device_get waited 2.5 s).
         # A tiny dependent transfer is the only honest sync there.
+        # TODO(backend): revert to block_until_ready once that backend
+        # implements it — the transfer costs a tunnel round-trip.
         jax.device_get(self._dev.t)
         return self
 
