@@ -222,11 +222,21 @@ def test_halo_mesh_matches_gathered_mesh():
     assert int(dropped) == 0
     v_g, t_g, p_g = extract_mesh(m_full, gcfg, min_weight=1.0)
 
-    # identical triangle soup (compare sorted triangle centroids)
+    # identical triangle soup. Vertices ship AABB-u16-quantized
+    # (map/meshing.py) and each shard quantizes against its LOCAL
+    # bounding box, so the two meshes sit on slightly different ~0.1 mm
+    # grids — compare centroid SETS by nearest neighbor instead of
+    # sorted pairing (which quantization reorders).
     assert len(t_s) == len(t_g) > 100
-    c_s = _canon(v_s[t_s].mean(axis=1))
-    c_g = _canon(v_g[t_g].mean(axis=1))
-    np.testing.assert_allclose(c_s, c_g, atol=1e-5)
+    from scipy.spatial import cKDTree
+
+    c_s = v_s[t_s].mean(axis=1)
+    c_g = v_g[t_g].mean(axis=1)
+    d_sg, _ = cKDTree(c_g).query(c_s)
+    d_gs, _ = cKDTree(c_s).query(c_g)
+    assert float(d_sg.max()) < 1e-3 and float(d_gs.max()) < 1e-3, (
+        d_sg.max(), d_gs.max()
+    )
 
     # the memory property: each device held local + halo, not the map
     assert info["peak_blocks_per_shard"] < 0.45 * n_global, (
