@@ -105,6 +105,7 @@ def test_ba_converges_to_ground_truth():
     assert float(jnp.median(pt_err)) < 1e-2
 
 
+@pytest.mark.slow  # fast tier keeps BA convergence/global-window coverage
 def test_ba_respects_fixed_gauge():
     cam, kfs, lms, poses_gt, pts_gt, num_kf, num_pts = _make_problem()
     kfs, lms = _perturb(kfs, lms, num_kf, num_pts)

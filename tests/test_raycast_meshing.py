@@ -64,7 +64,8 @@ def test_raycast_from_offset_pose():
     # camera moved 0.2m back: wall should appear at depth 1.2
     world_T_cam = exp_se3(jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, -0.2]))
     cam_T_world = world_T_cam.inverse()
-    out = raycast(m, CAM, cam_T_world, CFG)
+    # jitted: one compile instead of an eager per-op chain (2-core CI)
+    out = jax.jit(lambda mm, p: raycast(mm, CAM, p, CFG))(m, cam_T_world)
     hit = np.asarray(out["hit"])[20:28, 28:36]
     depth = np.asarray(out["depth"])[20:28, 28:36]
     assert hit.mean() > 0.9
@@ -73,7 +74,7 @@ def test_raycast_from_offset_pose():
 
 def test_raycast_misses_empty_map():
     m = create_map(CFG)
-    out = raycast(m, CAM, SE3.identity(), CFG)
+    out = jax.jit(lambda mm, p: raycast(mm, CAM, p, CFG))(m, SE3.identity())
     assert not np.asarray(out["hit"]).any()
     assert (np.asarray(out["depth"]) == 0).all()
 

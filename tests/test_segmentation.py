@@ -35,6 +35,7 @@ def test_random_engine_outputs_probabilities(tmp_path):
     np.testing.assert_allclose(ht, ht2, atol=1e-5)
 
 
+@pytest.mark.slow  # fast tier keeps the main seg forward/training tests
 def test_non_multiple_of_32_input():
     eng = InferenceEngine("__random__", width=50, height=35, widths=(8, 16))
     ht, lt = eng.infer_one(np.zeros((35, 50, 3), np.uint8))

@@ -46,9 +46,12 @@ def test_stereo_keypoint_depth_recovers_gt():
         np.stack([us.ravel(), vs.ravel()], -1).astype(np.float32)
     )
     valid = jnp.ones((uv.shape[0],), bool)
-    d, ok = stereo_keypoint_depth(
-        gl, gr, uv, valid, focal_x_baseline=FXB, max_disparity=48
-    )
+    # jitted: one compile instead of an eager per-op chain (2-core CI)
+    d, ok = jax.jit(
+        lambda a, b, u, v: stereo_keypoint_depth(
+            a, b, u, v, focal_x_baseline=FXB, max_disparity=48
+        )
+    )(gl, gr, uv, valid)
     ok_np = np.asarray(ok)
     # most grid probes land on textureless cell interiors and are
     # correctly rejected by the aperture gate; enough survive on edges
@@ -180,6 +183,7 @@ def test_dense_stereo_depth():
     assert (rel < 0.1).mean() > 0.9
 
 
+@pytest.mark.slow  # fast tier keeps stereo depth recovery coverage
 def test_dense_stereo_rejects_flat_regions():
     """Textureless input must not produce spurious confident depth."""
     from ra_slam_tpu.features.stereo import dense_stereo_depth
