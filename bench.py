@@ -53,8 +53,12 @@ def bench_fusion(frames, cam, poses, cfg):
     hts = [jnp.asarray(f.ht) for f in frames]
     lts = [jnp.asarray(f.lt) for f in frames]
 
+    # allocation samples every 3rd pixel: ray spacing at the 6 m depth
+    # cap is 3 px * 6 m / 320 fx = 5.6 cm < the 8 cm block size, so no
+    # crossed block is skipped (measured: active-block count within
+    # 0.13% of stride 2, alloc_failures 0, +3 fused f/s)
     step = jax.jit(
-        functools.partial(integrate_frame, cfg=cfg, alloc_stride=2),
+        functools.partial(integrate_frame, cfg=cfg, alloc_stride=3),
         donate_argnums=(0,),
     )
     t0 = time.perf_counter()
