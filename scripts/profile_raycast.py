@@ -139,7 +139,7 @@ def main():
 
     from ra_slam_tpu.map.raycast import raycast
     rc = jax.jit(functools.partial(raycast, cam=cam, cfg=cfg))
-    out = timeit("full raycast", rc, m, pose, iters=5)
+    out = timeit("full raycast", lambda: rc(m, cam_T_world=pose), iters=5)
     print(f"  hit fraction: {float(jnp.mean(out['hit'])):.3f}  "
           f"dropped: {int(out['dropped_splats'])}")
 
