@@ -500,6 +500,64 @@ def _mesh_chunk(
     return buf_hi, buf_lo, buf_aux, offset
 
 
+def _emit_all_scan(m: VoxelMap, min_weight: float, chunk: int, c_max: int, cap: int):
+    """Census-free, fully in-program emission: ONE `lax.scan` walks the
+    whole (compacted) active-block list in `chunk`-block steps and
+    appends packed triangle words — the jittable counterpart of the
+    host-driven `extract_mesh` chunk loop, used inside the `shard_map`
+    body of the parallel sharded export where no host orchestration is
+    possible. Inactive chunks (the compacted tail) skip the emission
+    math through `lax.cond`. Overflow beyond `c_max` per chunk or `cap`
+    total is COUNTED, never silently dropped.
+
+    Returns (buf_hi, buf_lo, buf_aux [3*(cap+c_max)], n_tris, overflow).
+    """
+    order, _ = _active_order(m)
+    N = m.num_blocks
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    order_p = jnp.concatenate(
+        [order, jnp.full((pad,), -1, jnp.int32)]
+    ).reshape(n_chunks, chunk)
+    sent = jnp.uint32(0xFFFFFFFF)
+    M = (cap + c_max) * 3
+    init = (
+        jnp.full((M,), sent), jnp.full((M,), sent), jnp.full((M,), sent),
+        jnp.int32(0), jnp.int32(0),
+    )
+
+    def step(carry, bidx):
+        def emit(c):
+            bh, bl, ba, off, oflow = c
+            coords, (t9, p9, w9) = _halo_grids(
+                m, bidx, [(m.tsdf, 1.0), (m.prob, 0.5), (m.weight, 0.0)]
+            )
+            base = coords * BLOCK_LEN
+            valid, hi, lo, aux = _emit_chunk_packed(t9, p9, w9, base, min_weight)
+            valid = valid & jnp.repeat(bidx >= 0, MAX_TRIS_PER_BLOCK)
+            n_cand = valid.shape[0]
+            rows = jnp.concatenate([hi, lo, aux], axis=1)
+            skeys = jax.lax.sort(
+                jnp.where(valid, jnp.arange(n_cand, dtype=jnp.int32), n_cand)
+            )
+            src = jax.lax.slice(skeys, (0,), (c_max,))
+            okm = src < n_cand
+            run = rows[jnp.minimum(src, n_cand - 1)]
+            run = jnp.where(okm[:, None], run, sent)
+            off3 = off * 3
+            bh = jax.lax.dynamic_update_slice(bh, run[:, 0:3].reshape(-1), (off3,))
+            bl = jax.lax.dynamic_update_slice(bl, run[:, 3:6].reshape(-1), (off3,))
+            ba = jax.lax.dynamic_update_slice(ba, run[:, 6:9].reshape(-1), (off3,))
+            cnt = jnp.sum(valid.astype(jnp.int32))
+            kept = jnp.clip(jnp.minimum(cnt, c_max), 0, jnp.maximum(cap - off, 0))
+            return bh, bl, ba, off + kept, oflow + cnt - kept
+
+        return jax.lax.cond(jnp.any(bidx >= 0), emit, lambda c: c, carry), None
+
+    (bh, bl, ba, off, oflow), _ = jax.lax.scan(step, init, order_p)
+    return bh, bl, ba, off, oflow
+
+
 def _plan_chunks(surf_idx, surf_counts, chunk):
     """Pad + reshape the census into per-chunk block lists and a
     power-of-two append width covering the peak chunk."""
@@ -520,9 +578,16 @@ def _plan_chunks(surf_idx, surf_counts, chunk):
     return order, c_max
 
 
-@partial(jax.jit, static_argnames=("voxel_size",), donate_argnums=(0, 1, 2))
-def _dedup_device(buf_hi, buf_lo, buf_aux, voxel_size: float):
-    """Shared-vertex dedup + decode + transfer quantization, on device.
+DELTA_SENTINEL = -32768  # i16 marker: index delta out of range, take
+#                          the next absolute value from the exception
+#                          stream (|d| > 32767 can never collide: the
+#                          sentinel value itself satisfies the test)
+
+
+def _dedup_core(buf_hi, buf_lo, buf_aux, voxel_size: float):
+    """Shared-vertex dedup + first-use renumbering + decode + transfer
+    encoding (pure jaxpr — jitted as `_dedup_device`, and inlined into
+    the `shard_map` body of the parallel sharded export).
 
     Inputs are flat [M] triangle-major vertex word streams (sentinel
     0xFFFFFFFF entries sort last). One 3-operand sort (hi, lo, iota)
@@ -531,8 +596,19 @@ def _dedup_device(buf_hi, buf_lo, buf_aux, voxel_size: float):
     are plain value scatters through the inverse map (duplicate writers
     carry identical values — no representative selection needed).
 
-    Returns (xq/yq/zq [M] u16 AABB-quantized unique verts, pq [M] u16,
-    inverse [M] i32, n_verts, aabb_lo [3] f32, aabb_scale [3] f32).
+    Vertex ids are then RE-NUMBERED in order of first appearance in the
+    triangle stream. That makes the index stream delta-friendly — the
+    emission scan walks cubes in lattice order, so consecutive indices
+    reference vertices created moments ago — and the profile showed the
+    index transfer (3 B/index at 17 MB/s) plus its host reassembly were
+    ~2/3 of warm extraction time. Deltas ship as i16 (2 B/index) with a
+    sentinel-marked absolute-value exception stream; the host rebuild is
+    one numpy cumsum instead of a 3-byte splice (8.8 s -> ~0.3 s at the
+    13.5M-triangle profile scale).
+
+    Returns (xq/yq/zq [M] u16 AABB-quantized unique verts in first-use
+    order, pq [M] u16, d16 [M] i16 index deltas, exc_vals [M//16] i32,
+    n_exc, n_verts, aabb_lo [3] f32, aabb_scale [3] f32).
     """
     M = buf_hi.shape[0]
     iota = jnp.arange(M, dtype=jnp.int32)
@@ -551,13 +627,41 @@ def _dedup_device(buf_hi, buf_lo, buf_aux, voxel_size: float):
     ) & ~is_sent
     uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_verts = jnp.sum(first.astype(jnp.int32))
-    inverse = jnp.zeros((M,), jnp.int32).at[perm].set(
+    inverse0 = jnp.zeros((M,), jnp.int32).at[perm].set(
         uid_sorted, mode="drop", unique_indices=True
     )
+
+    # first-use renumbering: remap[old_uid] = rank of its first stream
+    # position (valid stream entries precede the sentinel tail, so the
+    # min over all positions is the first real use)
+    first_pos = jnp.full((M,), M, jnp.int32).at[
+        jnp.where(sent, M, inverse0)
+    ].min(iota, mode="drop")
+    _, uid_by_first = jax.lax.sort((first_pos, iota), num_keys=1)
+    remap = jnp.zeros((M,), jnp.int32).at[uid_by_first].set(
+        iota, mode="drop", unique_indices=True
+    )
+    inverse = remap[inverse0]
+
     dst = jnp.where(sent, M, inverse)
     u_hi = jnp.zeros((M,), jnp.uint32).at[dst].set(buf_hi, mode="drop")
     u_lo = jnp.zeros((M,), jnp.uint32).at[dst].set(buf_lo, mode="drop")
     u_aux = jnp.zeros((M,), jnp.uint32).at[dst].set(buf_aux, mode="drop")
+
+    # index deltas + exceptions (exceptions are block-boundary refs to
+    # long-ago vertices; measured ~1-3% of the stream)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), inverse[:-1]])
+    d = inverse - prev
+    exc = (jnp.abs(d) > 32767) & ~sent
+    d16 = jnp.where(sent, 0, jnp.where(exc, DELTA_SENTINEL, d)).astype(
+        jnp.int16
+    )
+    exc_cap = M // 16
+    exc_dst = jnp.where(exc, jnp.cumsum(exc.astype(jnp.int32)) - 1, exc_cap)
+    exc_vals = jnp.zeros((exc_cap,), jnp.int32).at[exc_dst].set(
+        inverse, mode="drop"
+    )
+    n_exc = jnp.sum(exc.astype(jnp.int32))
 
     vx, vy, vz, prob = _decode_vertices(u_hi, u_lo, u_aux, voxel_size)
     live = iota < n_verts
@@ -586,7 +690,11 @@ def _dedup_device(buf_hi, buf_lo, buf_aux, voxel_size: float):
     yq = q16(vy, loy, aabb_scale[1])
     zq = q16(vz, loz, aabb_scale[2])
     pq = jnp.clip(prob * 65535.0 + 0.5, 0, 65535).astype(jnp.uint16)
-    return xq, yq, zq, pq, inverse, n_verts, aabb_lo, aabb_scale
+    return xq, yq, zq, pq, d16, exc_vals, n_exc, n_verts, aabb_lo, aabb_scale
+
+
+_dedup_device = partial(jax.jit, static_argnames=("voxel_size",),
+                        donate_argnums=(0, 1, 2))(_dedup_core)
 
 
 def extract_mesh(
@@ -650,32 +758,54 @@ def extract_mesh(
 
     # drop the append slack before dedup: everything past cap*3 is
     # sentinel tail (n <= cap), and dedup cost scales with the sort size
-    xq, yq, zq, pq, inverse, n_verts_d, aabb_lo, aabb_scale = _dedup_device(
+    (xq, yq, zq, pq, d16, exc_vals, _n_exc, n_verts_d, aabb_lo,
+     aabb_scale) = _dedup_device(
         buf_hi[: cap * 3], buf_lo[: cap * 3], buf_aux[: cap * 3],
         cfg.voxel_size,
     )
+    # Chunked transfer, queued BEFORE the n_verts sync so the index
+    # stream is already riding the link while the host blocks on the
+    # scalar; vertex slices dispatch after (their one post-readback
+    # dispatch stall hides under the streaming index chunks). Chunk
+    # boundaries are static multiples of _XFER_ELEMS, so the slice
+    # programs compile once ever, with no pow2 padding of the payload.
+    idx_ch = _stream_chunks(d16, 3 * n)
+    for c in idx_ch:
+        c.copy_to_host_async()
     v = int(n_verts_d)
+    ne = int(_n_exc)  # second scalar off an already-synced program: ~free
+    if ne > exc_vals.shape[0]:
+        raise ValueError(
+            f"mesh index exception stream overflow ({ne} > "
+            f"{exc_vals.shape[0]}); the delta encoder's M//16 budget "
+            "assumes <6% long-range refs"
+        )
+    # ONE pow2-rounded exception transfer (round-5 profile: 1.2M
+    # exceptions at 1 cm voxels overflowed a fixed 128k prefetch and the
+    # on-demand tail fetches serialized + recompiled — 21 s of 'link')
+    exc_pref = exc_vals[: min(1 << max(16, (max(ne, 1) - 1).bit_length()),
+                              exc_vals.shape[0])]
+    exc_pref.copy_to_host_async()
+    vert_ch = [_stream_chunks(a, v) for a in (xq, yq, zq, pq)]
+    for chs in vert_ch:
+        for c in chs:
+            c.copy_to_host_async()
 
-    # transfer at pow2-padded sizes (exact-size slices would compile a
-    # fresh program per mesh on this backend); host trims after
-    vpad = min(1 << max(10, (max(v, 1) - 1).bit_length()), xq.shape[0])
-    tpad = min(3 * (1 << max(10, (max(n, 1) - 1).bit_length())), inverse.shape[0])
-    xqs, yqs, zqs, pqs = xq[:vpad], yq[:vpad], zq[:vpad], pq[:vpad]
-    inv = inverse[:tpad]
-    inv_lo = inv.astype(jnp.uint16)
-    inv_hi = (inv >> 16).astype(jnp.uint8)  # idx < 2^24: 3 bytes total
-    for a in (xqs, yqs, zqs, pqs, inv_lo, inv_hi):
-        a.copy_to_host_async()
+    # host: index reconstruction is one cumsum per chunk (replacing the
+    # round-4 3-byte splice that cost 8.8 s of 2-core numpy at the
+    # 13.5M-triangle profile point), overlapped with the link
+    indices = _decode_index_stream(
+        idx_ch, 3 * n, np.asarray(exc_pref), exc_vals
+    ).reshape(-1, 3)
+
     lo_h = np.asarray(aabb_lo)
     sc_h = np.asarray(aabb_scale)
-    xyz = [np.asarray(a)[:v].astype(np.float32) for a in (xqs, yqs, zqs)]
-    vertices = np.stack(
-        [c / 65535.0 * sc_h[k] + lo_h[k] for k, c in enumerate(xyz)], axis=1
-    ).astype(np.float32)
-    probs = (np.asarray(pqs)[:v].astype(np.float32) / 65535.0)
-    ilo = np.asarray(inv_lo)[: 3 * n].astype(np.int32)
-    ihi = np.asarray(inv_hi)[: 3 * n].astype(np.int32)
-    indices = ((ihi << 16) | (ilo & 0xFFFF)).reshape(-1, 3)
+    vertices = np.empty((v, 3), np.float32)
+    for k, chs in enumerate(vert_ch[:3]):
+        vertices[:, k] = _cat_chunks(chs, v).astype(np.float32) * (
+            sc_h[k] / 65535.0
+        ) + lo_h[k]
+    probs = _cat_chunks(vert_ch[3], v).astype(np.float32) / 65535.0
 
     # drop triangles degenerated by the dedup (two corners on one edge)
     nondeg = (
@@ -684,6 +814,65 @@ def extract_mesh(
         & (indices[:, 0] != indices[:, 2])
     )
     return vertices, indices[nondeg], probs
+
+
+_XFER_ELEMS = 1 << 22  # elements per transfer slice
+
+
+def _stream_chunks(a, need: int):
+    """Static-boundary slices of `a` covering the first `need` elements."""
+    k = max(1, -(-need // _XFER_ELEMS))
+    return [
+        a[i * _XFER_ELEMS : min((i + 1) * _XFER_ELEMS, a.shape[0])]
+        for i in range(k)
+    ]
+
+
+def _cat_chunks(chs, need: int) -> np.ndarray:
+    if len(chs) == 1:
+        return np.asarray(chs[0])[:need]
+    return np.concatenate([np.asarray(c) for c in chs])[:need]
+
+
+def _decode_index_stream(idx_ch, need, exc_h, exc_dev) -> np.ndarray:
+    """Rebuild i32 indices from i16 deltas + sentinel-marked absolute
+    exceptions (inverse of the encoding in `_dedup_device`). Consumes
+    the device chunks in queue order so reconstruction overlaps the
+    still-streaming later chunks."""
+    out = np.empty(need, np.int32)
+    carry = np.int32(0)
+    used_exc = 0
+    off = 0
+    for ch in idx_ch:
+        dh = np.asarray(ch).astype(np.int32)
+        L = min(len(dh), need - off)
+        dh = dh[:L]
+        pos = np.nonzero(dh == DELTA_SENTINEL)[0]
+        if len(pos):
+            dh[pos] = 0
+        base = np.cumsum(dh, dtype=np.int32) + carry
+        if len(pos):
+            k1 = used_exc + len(pos)
+            if k1 > len(exc_h):
+                if k1 > exc_dev.shape[0]:
+                    raise ValueError(
+                        "mesh index exception stream overflow "
+                        f"({k1} > {exc_dev.shape[0]}); the delta encoder's "
+                        "M//16 budget assumes <6% long-range refs"
+                    )
+                exc_h = np.concatenate(
+                    [exc_h, np.asarray(exc_dev[len(exc_h) : k1])]
+                )
+            corr = exc_h[used_exc:k1].astype(np.int32) - base[pos]
+            offs = np.zeros(L, np.int32)
+            lens = np.diff(np.append(pos, L))
+            offs[pos[0] :] = np.repeat(corr, lens)
+            base += offs
+            used_exc = k1
+        out[off : off + L] = base
+        carry = base[-1] if L else carry
+        off += L
+    return out
 
 
 def save_mesh(
