@@ -104,3 +104,62 @@ def insert_keyframe(
 
 def num_keyframes(kfs: Keyframes) -> jax.Array:
     return jnp.sum(kfs.valid.astype(jnp.int32))
+
+
+def refresh_observations(
+    kfs: Keyframes,
+    lms,
+    cam,
+    gate_px: float,
+    mode: int,
+):
+    """Repair drift-inconsistent observation rows after a map correction.
+
+    The round-4 local-BA investigation established that windowed BA's
+    harm comes from the DATA it refits: keyframe rows record the
+    accumulated drift of their insertion time, and after loop/PGO/GBA
+    corrections move the landmark sheet, those recorded pixels are
+    inconsistent with the geometry the solver is asked to satisfy. All
+    nine round-4 mitigations restrained the *solver*; this repairs the
+    *observations* instead (the round-4 judge's proposed experiment):
+    every stored row is re-projected against the corrected sheet, and
+    rows whose reprojection disagrees by more than `gate_px` are
+
+      mode=1 ("drop"):    de-weighted (obs_w = 0) — the association is
+                          stale; remove it rather than let BA fit it,
+      mode=2 ("refresh"): re-measured against the corrected sheet
+                          (obs_uv/obs_z := predicted projection/depth) —
+                          keeps the row's constraint structure but makes
+                          it consistent with the post-correction map.
+
+    Returns (kfs, n_repaired). Jit-safe; `mode` is a static int.
+    """
+    lm = jnp.maximum(kfs.obs_lm, 0)
+    pts = lms.pos[lm]  # [K, F, 3]
+    p = jnp.einsum("kij,kfj->kfi", kfs.R, pts) + kfs.t[:, None, :]
+    z = p[..., 2]
+    ok_z = z > 1e-6
+    zs = jnp.where(ok_z, z, 1.0)
+    u = p[..., 0] / zs * cam.fx + cam.cx
+    v = p[..., 1] / zs * cam.fy + cam.cy
+    err = jnp.hypot(u - kfs.obs_uv[..., 0], v - kfs.obs_uv[..., 1])
+    live = (
+        (kfs.obs_w > 0)
+        & (kfs.obs_lm >= 0)
+        & lms.valid[lm]
+        & kfs.valid[:, None]
+    )
+    stale = live & (~ok_z | (err > gate_px))
+    n = jnp.sum(stale.astype(jnp.int32))
+    if mode == 1:
+        return kfs._replace(
+            obs_w=jnp.where(stale, 0.0, kfs.obs_w)
+        ), n
+    uv_new = jnp.stack([u, v], axis=-1)
+    had_z = kfs.obs_z > 1e-6
+    return kfs._replace(
+        obs_uv=jnp.where(stale[..., None], uv_new, kfs.obs_uv),
+        obs_z=jnp.where(stale & had_z & ok_z, z, kfs.obs_z),
+        # rows that cannot be made consistent (behind the camera) drop
+        obs_w=jnp.where(stale & ~ok_z, 0.0, kfs.obs_w),
+    ), n
