@@ -41,6 +41,7 @@ def run_trajectory_eval(
     trajectory_out: Optional[str] = None,
     seed: int = 0,
     progress: bool = False,
+    scene_kw: Optional[dict] = None,
     **slam_kw,
 ) -> dict:
     """Track the replay sequence with the full SLAM stack; return metrics.
@@ -65,6 +66,8 @@ def run_trajectory_eval(
     ds = SyntheticBoxDataset(
         num_frames=120, cam=spec, radius=1.0,
         depth_noise=depth_noise, seed=seed,
+        **(scene_kw or {}),  # hardened-scene knobs: clutter, dropout,
+        #                      depth_quant, exposure_drift, yaw_sweep
     )
     slam = SlamSystem(
         ds.camera,

@@ -58,6 +58,13 @@ def run(argv=None) -> dict:
                    help="spawn N local processes (multi-host demo)")
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--coordinator", default="localhost:9921")
+    # map scale (defaults = the round-4 small map; pass the bench-scale
+    # values 0.01/17/19 to measure at the headline operating point)
+    p.add_argument("--voxel-size", type=float, default=0.02)
+    p.add_argument("--log2-blocks", type=int, default=15)
+    p.add_argument("--log2-hash", type=int, default=17)
+    p.add_argument("--no-baseline", action="store_true",
+                   help="skip the in-process 1-device baseline row")
     args = p.parse_args(argv)
 
     if args.spawn > 1:
@@ -70,14 +77,21 @@ def run(argv=None) -> dict:
                 RA_SLAM_PROCESS_ID=str(pid),
             )
             cmd = [sys.executable, "-m", "ra_slam_tpu.pipeline.bench_scaling",
-                   "--devices", str(args.devices), "--frames", str(args.frames)]
+                   "--devices", str(args.devices), "--frames", str(args.frames),
+                   "--voxel-size", str(args.voxel_size),
+                   "--log2-blocks", str(args.log2_blocks),
+                   "--log2-hash", str(args.log2_hash), "--no-baseline"]
             procs.append(subprocess.Popen(
-                cmd, env=env,
-                stdout=subprocess.PIPE if pid else None, text=True,
+                cmd, env=env, stdout=subprocess.PIPE, text=True,
             ))
-        rcs = [q.wait() for q in procs]
+        outs = [q.communicate()[0] for q in procs]
+        rcs = [q.returncode for q in procs]
         assert all(r == 0 for r in rcs), f"worker exit codes {rcs}"
-        return {"spawned": args.spawn}
+        line = next(
+            ln for ln in outs[0].splitlines() if ln.startswith("{")
+        )
+        print(line)
+        return {"spawned": args.spawn, **json.loads(line)}
 
     if args.devices:
         os.environ["XLA_FLAGS"] = (
@@ -113,8 +127,9 @@ def run(argv=None) -> dict:
         half_extents=(3.0, 2.0, 3.0), radius=1.0,
     )
     cfg = TsdfConfig(
-        voxel_size=0.02, truncation=0.12, max_depth=6.0,
-        log2_num_blocks=15, log2_hash_size=17,
+        voxel_size=args.voxel_size, truncation=6 * args.voxel_size,
+        max_depth=6.0,
+        log2_num_blocks=args.log2_blocks, log2_hash_size=args.log2_hash,
         max_visible_blocks=1 << 13, max_new_blocks=1 << 14,
         width=640, height=480,
     )
@@ -140,7 +155,7 @@ def run(argv=None) -> dict:
         "n_devices": len(jax.devices()),
         **process_info(),
     }
-    if not multi and len(jax.devices()) > 1:
+    if not multi and len(jax.devices()) > 1 and not args.no_baseline:
         mesh1 = global_mesh(devices=jax.devices()[:1])
         fps_1 = _bench_mesh(mesh1, cfg, frames, cam, poses, lambda x: x)
         out["fps_1dev"] = round(fps_1, 2)
