@@ -212,7 +212,7 @@ def bench_seg(iters=40):
 
 
 def bench_system(
-    slam, seg_step, seg_params, integrate_step, rc, cfg,
+    slam, seg_step, seg_params, integrate_step, cfg,
     orbit_frames=240, n_frames=206,
 ):
     """WHOLE-SYSTEM concurrent throughput: every frame runs ORB detect +
@@ -232,7 +232,10 @@ def bench_system(
     artifact's job. Compiled steps are all reused from the per-stage
     benches; the SLAM system is state-reset, keeping its jits.
     """
+    import dataclasses
+
     from ra_slam_tpu.io.synthetic import SyntheticBoxDataset, SyntheticCameraSpec
+    from ra_slam_tpu.map.raycast import raycast
     from ra_slam_tpu.map.voxel_map import create_map
 
     # feed 206 of a 240-frame orbit: the timed span stays ~50 degrees
@@ -254,6 +257,16 @@ def bench_system(
     rgbf = [to_f32(r) for r in rgb8]
     _sync(rgbf[-1][0, 0, 0])
 
+    # the 206-frame map holds ~3.4x more weight updates than the
+    # 60-frame fusion map, so far more grazing-angle blocks clear
+    # raycast_min_weight into the renderable shell: the in-system
+    # renderer gets its own (larger) shell budget, overflow still
+    # asserted zero
+    rc = jax.jit(functools.partial(
+        raycast, cam=cam,
+        cfg=dataclasses.replace(cfg, max_shell_blocks=cfg.max_visible_blocks),
+    ))
+
     m = create_map(cfg)
     infos = []
     ren = None
@@ -262,25 +275,52 @@ def bench_system(
         info.block()
         ht, lt = seg_step(seg_params, rgbf[i])
         m, stats = integrate_step(m, rgbf[i], depths[i], ht, lt, cam, info.pose)
+    ren = rc(m, cam_T_world=info.pose)  # compile the renderer pre-loop
     _sync(stats["num_active"])
+    _sync(ren["depth"][0, 0])
 
-    t0 = time.perf_counter()
-    for i in range(3, n_frames):
-        info = slam.feed_rgbd_frame(rgb8[i], depths[i], i / 30.0, frame_id=i)
-        infos.append(info)
-        ht, lt = seg_step(seg_params, rgbf[i])
-        m, stats = integrate_step(m, rgbf[i], depths[i], ht, lt, cam, info.pose)
-        if i % 3 == 0:
-            ren = rc(m, cam_T_world=info.pose)
-    infos[-1].block()
-    alloc_failures = int(_sync(stats["alloc_failures"]))
-    dt = time.perf_counter() - t0
-    tracked = sum(int(i.tracked) for i in infos)
-    n_timed = n_frames - 3
-    assert tracked == n_timed, f"system bench lost frames ({tracked}/{n_timed})"
-    assert alloc_failures == 0, "allocation overflow in system bench"
-    assert int(_sync(ren["dropped_splats"])) == 0, "shell overflow in system bench"
-    return n_timed / dt
+    def span(render: bool):
+        slam.reset()
+        m = create_map(cfg)
+        infos, ren = [], None
+        for i in range(3):
+            info = slam.feed_rgbd_frame(rgb8[i], depths[i], i / 30.0, frame_id=i)
+            info.block()
+            ht, lt = seg_step(seg_params, rgbf[i])
+            m2, stats = integrate_step(m, rgbf[i], depths[i], ht, lt, cam, info.pose)
+            m = m2
+        _sync(stats["num_active"])
+        t0 = time.perf_counter()
+        for i in range(3, n_frames):
+            info = slam.feed_rgbd_frame(rgb8[i], depths[i], i / 30.0, frame_id=i)
+            infos.append(info)
+            ht, lt = seg_step(seg_params, rgbf[i])
+            m, stats = integrate_step(m, rgbf[i], depths[i], ht, lt, cam, info.pose)
+            if render and i % 3 == 0:
+                ren = rc(m, cam_T_world=info.pose)
+        infos[-1].block()
+        alloc_failures = int(_sync(stats["alloc_failures"]))
+        dt = time.perf_counter() - t0
+        tracked = sum(int(i.tracked) for i in infos)
+        n_timed = n_frames - 3
+        assert tracked == n_timed, f"system bench lost frames ({tracked}/{n_timed})"
+        assert alloc_failures == 0, "allocation overflow in system bench"
+        if ren is not None:
+            assert int(_sync(ren["dropped_splats"])) == 0, (
+                "shell overflow in system bench"
+            )
+        return n_timed / dt
+
+    # Measured attribution (scripts/profile_system.py, steady state on
+    # the 206-frame map): integrate 21.9 ms + track 16.9 + seg 4.9 +
+    # render/3 18.0 = purely additive, no cross-stage interference, and
+    # the tracked-pose dependency costs nothing (gt-pose variant equal).
+    # The no-render rate is also reported: the reference decouples its
+    # renderer into a best-effort GUI loop (renderer_module.cc:55-70)
+    # while tracking+fusion are the camera-rate pipeline.
+    fps_no_render = span(render=False)
+    fps = span(render=True)
+    return fps, fps_no_render
 
 
 def bench_matching(iters=30):
@@ -322,8 +362,10 @@ def main():
         # the orbit views measure ~6.3k visible blocks; the cap sizes
         # every per-visible-block working set (integrate + raycast)
         max_visible_blocks=1 << 13,
-        # ~2.1k visible blocks hold shell voxels at the render pose;
-        # 3072 gives 44% headroom (overflow counted in dropped_splats)
+        # ~2.1k visible blocks hold shell voxels at the render poses of
+        # the 60-frame fusion map (0 drops across the 60-pose sweep);
+        # the whole-system bench renders the RICHER 206-frame map and
+        # sizes its own renderer's budget (bench_system)
         max_shell_blocks=3072,
         # the heaviest frame allocates ~5k new blocks; 8192 bounds the
         # alloc sort/lookup windows (overflow counted, asserted 0)
@@ -379,11 +421,14 @@ def main():
     _mark(f"tracking done ({slam_fps:.1f} f/s); segmentation")
     seg_ms, seg_step, seg_params = bench_seg()
     _mark(f"segmentation done ({seg_ms:.2f} ms); whole system")
-    system_fps = bench_system(slam, seg_step, seg_params, integrate_step, rc, cfg)
-    _mark(f"whole system done ({system_fps:.1f} f/s)")
+    system_fps, system_fps_nr = bench_system(
+        slam, seg_step, seg_params, integrate_step, cfg
+    )
+    _mark(f"whole system done ({system_fps:.1f} f/s, {system_fps_nr:.1f} no-render)")
 
     extra = {
         "system_fps_640x480": round(system_fps, 2),
+        "system_fps_no_render_640x480": round(system_fps_nr, 2),
         "tracked_slam_fps_640x480": round(slam_fps, 2),
         "raycast_fps_640x480": round(raycast_fps, 2),
         "seg_latency_ms": round(seg_ms, 3),
