@@ -14,21 +14,36 @@ multi-chip slice, which this rig does not expose.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 SCALE = ["--voxel-size", "0.01", "--log2-blocks", "17", "--log2-hash", "19"]
-FRAMES = ["--frames", "60"]
+# 24 frames: bench-scale maps make multi-virtual-device rows minutes
+# per frame on the 2-core host (each virtual device runs its own
+# thunk-executor thread pool; collectives serialize the oversubscribed
+# threads) — the overhead ratio stabilizes well before 24 frames
+FRAMES = ["--frames", "24"]
 
 
 def run_row(extra, tag):
     t0 = time.monotonic()
     cmd = [sys.executable, "-m", "ra_slam_tpu.pipeline.bench_scaling",
            *extra, *SCALE, *FRAMES]
+    env = dict(os.environ)
+    # bench-scale shards on a 2-core host: one virtual device's thunk
+    # work can delay another past XLA:CPU's default 40 s fatal
+    # collective-rendezvous watchdog (measured: 2dev/1cm crashed in
+    # rendezvous.cc) — raise it; this measures overhead, not liveness
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    ).strip()
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd="/root/repo",
-        timeout=3600,
+        timeout=3600, env=env,
     )
     assert out.returncode == 0, (tag, out.stderr[-2000:])
     line = next(ln for ln in out.stdout.splitlines() if ln.startswith("{"))
