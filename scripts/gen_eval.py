@@ -54,14 +54,15 @@ def main():
         for loop in (True, False):
             run("baseline", seed=seed, loop_closure=loop)
 
-    # local-BA ablation (loop on; reassoc gate is angular: 8 px @320)
-    abl = []
-    for seed in (0, 1):
-        abl.append(run("ba1", seed=seed, ba_every_kf=1))
-        abl.append(run("ba1+drop", seed=seed, ba_every_kf=1,
-                       reassoc_mode=1, reassoc_gate=8.0 * SCALE))
-        abl.append(run("ba1+refresh", seed=seed, ba_every_kf=1,
-                       reassoc_mode=2, reassoc_gate=8.0 * SCALE))
+    # local-BA ablation (loop on; reassoc gate is angular: 8 px @320).
+    # One seed: the QVGA sweep already measured the same ordering at
+    # three gates (see slam/system.py ba_every_kf comment).
+    for seed in (0,):
+        run("ba1", seed=seed, ba_every_kf=1)
+        run("ba1+drop", seed=seed, ba_every_kf=1,
+            reassoc_mode=1, reassoc_gate=8.0 * SCALE)
+        run("ba1+refresh", seed=seed, ba_every_kf=1,
+            reassoc_mode=2, reassoc_gate=8.0 * SCALE)
 
     base = [r for r in rows if r["config"] == "baseline" and r["loop_closure"]]
     accept = (
