@@ -95,7 +95,14 @@ def cached_compile(
     lower_s = time.perf_counter() - t0
     path = os.path.join(cache_dir, _key(lowered, extra) + ".exe")
 
-    if os.path.exists(path):
+    # XLA:CPU AOT results are machine-feature pinned and refuse to
+    # execute even on the compiling host (measured: '+prefer-no-scatter
+    # ... not supported on the host machine' -> JaxRuntimeError);
+    # the cache targets the TPU path, where round-trips are verified
+    # bit-identical (scripts/profile_cold_start.py)
+    persist = jax.default_backend() != "cpu"
+
+    if persist and os.path.exists(path):
         try:
             from jax.experimental import serialize_executable as se
 
@@ -118,18 +125,19 @@ def cached_compile(
     t0 = time.perf_counter()
     compiled = lowered.compile()
     compile_s = time.perf_counter() - t0
-    status = "miss"
-    try:
-        from jax.experimental import serialize_executable as se
+    status = "miss" if persist else "nocache"
+    if persist:
+        try:
+            from jax.experimental import serialize_executable as se
 
-        payload = se.serialize(compiled)
-        os.makedirs(cache_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
-        with os.fdopen(fd, "wb") as f:
-            pickle.dump(payload, f)
-        os.replace(tmp, path)  # atomic: concurrent boots never see torn files
-    except Exception:
-        status = "nocache"
+            payload = se.serialize(compiled)
+            os.makedirs(cache_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump(payload, f)
+            os.replace(tmp, path)  # atomic: no torn files for racers
+        except Exception:
+            status = "nocache"
     return compiled, {
         "status": status,
         "lower_s": round(lower_s, 2),
