@@ -115,6 +115,14 @@ def raycast(
     cfg.max_visible_blocks), the number of *blocks* that may carry
     shell voxels at once; overflow is counted in 'dropped_splats'
     (conservatively 512 per dropped block, 0 in healthy renders).
+
+    `shell` sensitivity, measured on the bench map (60-pose orbit sweep
+    on the real chip, round 5): fps and depth accuracy are FLAT across
+    the band (42.9/43.1/43.1 f/s and 2.61/2.60/2.62 mm MAE at
+    0.3/0.5/0.7 — the sort/scatter cost scales with the static
+    max_shell_blocks cap, not band occupancy), while pixel coverage
+    rises with the band (hit rate 0.80/0.92/0.95). Widening the band is
+    free until shell blocks overflow the cap.
     """
     del splats_per_block  # no per-block budget in the sort design
     H, W = cam.height, cam.width
