@@ -82,3 +82,61 @@ def test_pose_buffer_interpolation():
     np.testing.assert_allclose(
         np.asarray(buf.query(1.5).t), np.asarray(pm.t), atol=1e-6
     )
+
+
+def test_refresh_observations_drop_and_refresh():
+    """Post-correction row repair: rows whose landmark moved beyond the
+    gate are dropped (mode 1) or re-measured to the corrected sheet
+    (mode 2); consistent rows are untouched (slam/keyframes.py)."""
+    import jax.numpy as jnp
+
+    from ra_slam_tpu.core.camera import PinholeCamera
+    from ra_slam_tpu.core.se3 import SE3
+    from ra_slam_tpu.slam.keyframes import (
+        create_keyframes,
+        insert_keyframe,
+        refresh_observations,
+    )
+    from ra_slam_tpu.slam.landmarks import create_landmarks
+
+    cam = PinholeCamera.create(100.0, 100.0, 63.5, 47.5, 128, 96)
+    pts = jnp.asarray([[0.0, 0.0, 2.0], [0.4, 0.1, 2.5], [-0.3, -0.2, 3.0]])
+    lms = create_landmarks(8)
+    lms = lms._replace(
+        pos=lms.pos.at[:3].set(pts), valid=lms.valid.at[:3].set(True)
+    )
+    uv, z = cam.project(pts)
+    F = 4
+    kfs = create_keyframes(2, F)
+    kfs = insert_keyframe(
+        kfs, jnp.int32(0), SE3.identity(), jnp.int32(0), jnp.float32(0.0),
+        jnp.asarray([0, 1, 2, -1], jnp.int32),
+        jnp.concatenate([uv, jnp.zeros((1, 2))]),
+        jnp.asarray([1.0, 1.0, 1.0, 0.0]),
+        jnp.zeros((F, 8), jnp.uint32),
+        obs_z=jnp.concatenate([z, jnp.zeros((1,))]),
+    )
+    # a "correction" moves landmark 1 by 20 cm; others stay
+    lms2 = lms._replace(pos=lms.pos.at[1, 0].add(0.2))
+
+    k_drop, n1 = refresh_observations(kfs, lms2, cam, gate_px=3.0, mode=1)
+    assert int(n1) == 1
+    assert float(k_drop.obs_w[0, 1]) == 0.0  # stale row de-weighted
+    assert float(k_drop.obs_w[0, 0]) == 1.0  # consistent rows untouched
+    assert float(k_drop.obs_w[0, 2]) == 1.0
+
+    k_ref, n2 = refresh_observations(kfs, lms2, cam, gate_px=3.0, mode=2)
+    assert int(n2) == 1
+    uv_new, z_new = cam.project(lms2.pos[1][None])
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(k_ref.obs_uv[0, 1]), np.asarray(uv_new[0]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(k_ref.obs_z[0, 1]), float(z_new[0]), atol=1e-5
+    )
+    assert float(k_ref.obs_w[0, 1]) == 1.0  # kept, made consistent
+    np.testing.assert_allclose(  # untouched row keeps its measurement
+        np.asarray(k_ref.obs_uv[0, 0]), np.asarray(uv[0]), atol=1e-6
+    )
