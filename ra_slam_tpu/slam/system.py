@@ -718,6 +718,13 @@ class SlamSystem:
         self._detect = jax.jit(
             functools.partial(detect_and_describe, cfg=fcfg)
         )
+        # gray conversion fused into the detect program: the eager
+        # rgb_to_gray chain cost ~3.5 ms/frame of dispatch on this rig
+        self._detect_rgb = jax.jit(
+            lambda rgb: detect_and_describe(
+                rgb_to_gray(rgb.astype(jnp.float32)), cfg=fcfg
+            )
+        )
         self._step = jax.jit(
             functools.partial(slam_frame_step, cam=cam, tcfg=tcfg, p=params)
         )
@@ -765,8 +772,7 @@ class SlamSystem:
     ) -> FrameInfo:
         """Track one RGB-D frame; returns (pose, tracked, ...) feedback
         (reference `feed_RGBD_images_w_feedback`)."""
-        gray = rgb_to_gray(jnp.asarray(rgb, jnp.float32))
-        kp = self._detect(gray)
+        kp = self._detect_rgb(jnp.asarray(rgb))
         depth_j = jnp.asarray(depth, jnp.float32)
         return self._feed(kp, depth_j, timestamp, frame_id, pose_hint)
 
