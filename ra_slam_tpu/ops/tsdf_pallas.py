@@ -67,26 +67,44 @@ def _fuse_kernel(
     # a lane vector and force a relayout per block — 16 per grid step.)
     idx_t = idxt_ref[:].T  # [512, G]
     col = jax.lax.broadcasted_iota(jnp.int32, (512, TILE_PIX), 1)
-    vals_g = []
+    vals_g, d_g = [], []
     for g in range(G):
-        oh = (idx_t[:, g][:, None] == col).astype(jnp.float32)  # [512, 256]
-        # [6, 256] x [512, 256] contracted on the tile axis -> [6, 512].
-        # Exactly one 1.0 per one-hot row and HIGHEST precision make
-        # this a bit-exact gather on the MXU.
-        vals_g.append(
+        ohf = (idx_t[:, g][:, None] == col).astype(jnp.float32)  # [512, 256]
+        # Split resolve: GEOMETRY stays bit-exact, APPEARANCE goes bf16.
+        # The depth channel gathers via one [512, 256] x [256, 1]
+        # HIGHEST-precision matmul (exactly one 1.0 per one-hot row ->
+        # a bit-exact f32 gather), so the sdf, the update gate (whose
+        # truncation-boundary compare must match the einsum path
+        # exactly), tsdf and weight are identical to full-f32. The five
+        # color/semantic channels resolve in ONE bf16 pass (inputs are
+        # 8-bit-scale colors and probabilities; bf16 keeps them to 0.2%
+        # relative — tests/test_tpu_kernels.py bounds the fields).
+        # HIGHEST on all 6 channels ran 3 bf16 passes over the full
+        # [6, 256] x [512, 256] product and was ~2x slower end-to-end.
+        oh = ohf.astype(jnp.bfloat16)
+        p = patch_ref[g]
+        d_g.append(
             jax.lax.dot_general(
-                patch_ref[g],
-                oh,
+                ohf,
+                p[0:1],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
+            )[:, 0]
+        )  # [512]
+        vals_g.append(
+            jax.lax.dot_general(
+                p[1:].astype(jnp.bfloat16),
+                oh,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        )
-    vals = jnp.stack(vals_g)  # [G, 6, 512]
+        )  # [5, 512]
+    vals = jnp.stack(vals_g)  # [G, 5, 512]: r g b ht lt
 
-    d = vals[:, 0]  # [G, 512]
-    ht = vals[:, 4]
-    lt = vals[:, 5]
+    d = jnp.stack(d_g)  # [G, 512]
+    ht = vals[:, 3]
+    lt = vals[:, 4]
     z = z_ref[:]
     d2r = d2r_ref[:]
     gate = gate_ref[:]
@@ -124,7 +142,7 @@ def _fuse_kernel(
     pnew_ref[:] = jnp.where(update, p_new, p_old)
 
     c_new = (
-        c_old * w_old[:, None, :] + vals[:, 1:4] * w_new[:, None, :]
+        c_old * w_old[:, None, :] + vals[:, 0:3] * w_new[:, None, :]
     ) * inv_w[:, None, :]
     cnew_ref[:] = jnp.where(update[:, None, :], c_new, c_old)
 

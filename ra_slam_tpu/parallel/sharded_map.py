@@ -98,6 +98,8 @@ def map_partition_specs() -> VoxelMap:
         rgb=P(MAP_AXIS),
         prob=P(MAP_AXIS),
         alloc_failures=P(MAP_AXIS),
+        free_stack=P(MAP_AXIS),
+        free_top=P(MAP_AXIS),
     )
 
 
@@ -114,7 +116,10 @@ def create_sharded_map(cfg: TsdfConfig, mesh: Mesh) -> VoxelMap:
         from ra_slam_tpu.map.voxel_map import create_map
 
         m = create_map(lcfg)
-        return m._replace(alloc_failures=m.alloc_failures[None])
+        return m._replace(
+            alloc_failures=m.alloc_failures[None],
+            free_top=m.free_top[None],
+        )
 
     specs = map_partition_specs()
     build = _shard_map(build_local, mesh=mesh, in_specs=(), out_specs=specs)

@@ -718,13 +718,20 @@ class SlamSystem:
         self._detect = jax.jit(
             functools.partial(detect_and_describe, cfg=fcfg)
         )
-        # gray conversion fused into the detect program: the eager
-        # rgb_to_gray chain cost ~3.5 ms/frame of dispatch on this rig
-        self._detect_rgb = jax.jit(
-            lambda rgb: detect_and_describe(
+        # RGB-D fast path: gray conversion + ORB detect + the fused
+        # frame step in ONE program — each extra dispatch costs ~1.3 ms
+        # of tunnel round-trip on this rig (the eager rgb_to_gray chain
+        # alone was ~3.5 ms/frame)
+        def _detect_and_step(state, rgb, depth, fid, ts, pose0):
+            kp = detect_and_describe(
                 rgb_to_gray(rgb.astype(jnp.float32)), cfg=fcfg
             )
-        )
+            return slam_frame_step(
+                state, kp, depth, fid, ts, pose0,
+                cam=cam, tcfg=tcfg, p=params,
+            )
+
+        self._detect_step = jax.jit(_detect_and_step)
         self._step = jax.jit(
             functools.partial(slam_frame_step, cam=cam, tcfg=tcfg, p=params)
         )
@@ -772,9 +779,16 @@ class SlamSystem:
     ) -> FrameInfo:
         """Track one RGB-D frame; returns (pose, tracked, ...) feedback
         (reference `feed_RGBD_images_w_feedback`)."""
-        kp = self._detect_rgb(jnp.asarray(rgb))
-        depth_j = jnp.asarray(depth, jnp.float32)
-        return self._feed(kp, depth_j, timestamp, frame_id, pose_hint)
+        fid = len(self._frames) if frame_id is None else frame_id
+        self._frames.append((fid, timestamp))
+        pose0 = pose_hint if pose_hint is not None else SE3.identity()
+        self.state, info = self._detect_step(
+            self.state, jnp.asarray(rgb), jnp.asarray(depth, jnp.float32),
+            jnp.int32(fid), jnp.float32(timestamp), pose0,
+        )
+        out = FrameInfo(info)
+        self.pose_buffer.register_lazy(timestamp, out.pose, info.tracked)
+        return out
 
     def feed_stereo_frame(
         self,

@@ -98,9 +98,15 @@ vis = visible_blocks(m, cam, pose, cfg)
 m_pallas = jax.jit(functools.partial(integrate, cfg=cfg, carve=True))(m, vis[0], vis[1], *args, cam, pose)
 os.environ["RA_SLAM_NO_PALLAS"] = "1"
 m_jnp = jax.jit(functools.partial(integrate, cfg=cfg, carve=True))(m, vis[0], vis[1], *args, cam, pose)
+# the Pallas resolve keeps GEOMETRY bit-exact (the depth channel
+# gathers at HIGHEST precision, so sdf/gate/tsdf/weight match the f32
+# einsum path exactly) while the five appearance channels resolve in
+# one bf16 MXU pass (ops/tsdf_pallas.py): colors are 0..255 at ~0.2%
+# relative, probabilities feed the log-odds update
+tol = {"tsdf": 2e-5, "weight": 2e-5, "prob": 5e-3, "rgb": 1.5}
 for name in ("tsdf", "weight", "prob", "rgb"):
     a, b = np.asarray(getattr(m_pallas, name)), np.asarray(getattr(m_jnp, name))
-    assert np.max(np.abs(a - b)) < 2e-5, (name, np.max(np.abs(a - b)))
+    assert np.max(np.abs(a - b)) < tol[name], (name, np.max(np.abs(a - b)))
 for name in ("block_key", "active"):
     a, b = np.asarray(getattr(m_pallas, name)), np.asarray(getattr(m_jnp, name))
     assert (a == b).all(), name

@@ -179,3 +179,49 @@ def test_integrate_frame_jits_once():
     m = f(m, depth)
     m = f(m, depth * 0.9)
     assert int(num_active(m)) > 0
+
+
+def test_free_stack_conservation():
+    """The free stack and the active set partition the pool through
+    alloc -> carve -> realloc cycles: num_active + free_top == N, the
+    stacked rows are exactly the inactive ones, and no row is ever
+    handed out twice (voxel_map.py free-stack allocator)."""
+    m = create_map(CFG)
+    n = m.num_blocks
+
+    def check(m):
+        top = int(m.free_top)
+        assert int(num_active(m)) + top == n
+        stacked = np.asarray(m.free_stack)[:top]
+        assert len(np.unique(stacked)) == top  # no duplicates
+        assert not np.asarray(m.active)[stacked].any()  # all genuinely free
+
+    check(m)
+    keys = pack_block_coords(
+        jnp.stack(jnp.meshgrid(*[jnp.arange(4, dtype=jnp.int32)] * 3),
+                  axis=-1).reshape(-1, 3)
+    )
+    m = allocate_keys(m, keys)  # 64 blocks
+    check(m)
+    assert int(num_active(m)) == 64
+
+    # carve everything (fresh blocks hold tsdf=-1 -> |tsdf|=1 >=
+    # carve_threshold -> all released). Rows pop off the stack TOP, so
+    # find the active rows instead of assuming they start at 0.
+    act_rows = np.nonzero(np.asarray(m.active))[0]
+    vis_idx = jnp.asarray(
+        np.pad(act_rows, (0, 128 - len(act_rows))), jnp.int32
+    )
+    vis_mask = jnp.arange(128) < len(act_rows)
+    m = space_carve(m, vis_idx, vis_mask, CFG)
+    check(m)
+    assert int(num_active(m)) == 0
+
+    # re-allocate different keys: rows come back off the stack
+    keys2 = pack_block_coords(
+        jnp.stack(jnp.meshgrid(*[jnp.arange(3, dtype=jnp.int32) + 9] * 3),
+                  axis=-1).reshape(-1, 3)
+    )
+    m = allocate_keys(m, keys2)
+    check(m)
+    assert int(num_active(m)) == 27
