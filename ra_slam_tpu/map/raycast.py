@@ -193,6 +193,28 @@ def raycast(
     pix = jnp.where(valid, vi * W + jnp.clip(ui, 0, W - 1), n_pix).reshape(-1)
     z_flat = jnp.where(valid, z_surf, jnp.inf).reshape(-1)
 
+    # ONE uint32 sort key instead of a two-key (pixel, depth) sort: the
+    # pixel id in the top bits (VGA needs 19; a capacity assert guards
+    # larger sensors) and the depth quantized to 13 bits over
+    # [min_depth, max_depth] below it. The winner per pixel is then the
+    # minimum key; its EXACT f32 depth and attributes ride along as
+    # sort values, so quantization only affects which of two splats
+    # closer than (max-min)/8192 (~0.7 mm at the 6 m default) wins the
+    # pixel — below splat noise. Measured: the two-key sort was ~35% of
+    # the whole render at VGA.
+    ZBITS = 13
+    assert n_pix << ZBITS <= (1 << 32) - (1 << ZBITS), (
+        "pixel+depth sort key overflows 32 bits; lower resolution"
+    )
+    zq = jnp.clip(
+        ((z_flat - cfg.min_depth)
+         * ((1 << ZBITS) - 1) / (cfg.max_depth - cfg.min_depth)),
+        0, (1 << ZBITS) - 1,
+    ).astype(jnp.uint32)
+    key = (pix.astype(jnp.uint32) << ZBITS) | jnp.where(
+        jnp.isfinite(z_flat), zq, (1 << ZBITS) - 1
+    )
+
     def q8(a):
         return jnp.clip(a, 0, 255).astype(jnp.uint32)
 
@@ -206,7 +228,8 @@ def raycast(
         | q8(prob * 255.0)
     ).reshape(-1)
 
-    pix_s, z_s, attr_s = jax.lax.sort((pix, z_flat, attr), num_keys=2)
+    key_s, z_s, attr_s = jax.lax.sort((key, z_flat, attr), num_keys=1)
+    pix_s = (key_s >> ZBITS).astype(jnp.int32)
     first = (
         jnp.concatenate([jnp.array([True]), pix_s[1:] != pix_s[:-1]])
         & (pix_s < n_pix)
