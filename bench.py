@@ -311,13 +311,19 @@ def bench_system(
             )
         return n_timed / dt
 
-    # Measured attribution (scripts/profile_system.py, steady state on
-    # the 206-frame map): integrate 21.9 ms + track 16.9 + seg 4.9 +
-    # render/3 18.0 = purely additive, no cross-stage interference, and
-    # the tracked-pose dependency costs nothing (gt-pose variant equal).
-    # The no-render rate is also reported: the reference decouples its
-    # renderer into a best-effort GUI loop (renderer_module.cc:55-70)
-    # while tracking+fusion are the camera-rate pipeline.
+    # Measured attribution (scripts/profile_system.py, round-5 steady
+    # state on the 206-frame map): integrate 19.6 ms + track 7.2 + seg
+    # 4.9 + render/3 17.7 = purely additive, no cross-stage
+    # interference, and the tracked-pose dependency costs nothing
+    # (gt-pose variant equal). The render's 53 ms is entirely its
+    # static 8k shell-block budget (every [V2, 512] stage + the splat
+    # sort scale with the cap, not occupancy — scripts/
+    # profile_interleave.py rules out a donation copy: rc alone at the
+    # 8k cap costs the same 53 ms and interleaving is additive).
+    # The no-render rate is the camera-rate pipeline: the reference
+    # decouples its renderer into a best-effort GUI loop
+    # (renderer_module.cc:55-70) while tracking+fusion run at camera
+    # rate.
     fps_no_render = span(render=False)
     fps = span(render=True)
     return fps, fps_no_render
