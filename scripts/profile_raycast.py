@@ -1,8 +1,11 @@
 """Stage-level profile of the raycast splatting pipeline on the bench map.
 
 Builds the same 60-frame fused map as bench.py, then times isolated
-stages of the CURRENT `map/raycast.py` (per-block one-hot compaction)
-to locate the bottleneck. Also profiles one integrate_frame step.
+stages (some of them legacy formulations kept for comparison: the
+per-block one-hot compaction and scatter-min z-buffer rows are the
+round-3 designs the current sort-based `map/raycast.py` replaced) to
+locate the bottleneck, plus the CURRENT full render. Also profiles one
+integrate_frame step.
 """
 import functools
 import time
